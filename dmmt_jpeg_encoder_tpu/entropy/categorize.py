@@ -1,0 +1,92 @@
+"""Entropy-stage analysis on device.
+
+The reference's per-block state machines become data-parallel tensor ops:
+
+- DC DPCM (reference: src/...transformer/categorize.rs:153-168): the
+  per-channel `last_dc` chain is a shifted subtract over the block axis —
+  blocks must already be in MCU-entangled order for luma
+  (transformer.rs:188-221 entangles BEFORE categorizing).
+- Magnitude category (categorize.rs:21-43): bit length of |v|, computed
+  exactly with 15 integer threshold compares (no float log).
+- AC run lengths (categorize.rs:132-151): for each nonzero at zigzag
+  position p, the count of zeros since the previous nonzero is
+  p - prev_nonzero(p) - 1, where prev_nonzero is an exclusive running max
+  over p*[v!=0] — a `lax.associative_scan`. Runs > 15 split into
+  floor(run/16) ZRL symbols plus (run mod 16); trailing zeros contribute a
+  single EOB (no ZRL), exactly the reference's while-loop semantics.
+- Histograms: scatter-adds into 16-bin (DC) and 256-bin (AC) counters
+  (symbol_counting.rs:8-44), jnp.psum-able across shards.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def magnitude_category(v: jnp.ndarray) -> jnp.ndarray:
+    """JPEG magnitude category = bit length of |v| (0 for v == 0).
+    Exact for |v| <= 32767 (category <= 15; the reference panics above —
+    categorize.rs:28-33 — which cannot occur for int16 coefficients)."""
+    a = jnp.abs(v.astype(jnp.int32))
+    thresholds = jnp.asarray([1 << k for k in range(15)], dtype=jnp.int32)
+    return jnp.sum(
+        a[..., None] >= thresholds, axis=-1, dtype=jnp.int32
+    )
+
+
+def dc_dpcm(dc: jnp.ndarray, first_predictor: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Per-channel DC delta chain along axis 0; predictor starts at 0
+    (categorize.rs:156-161). `first_predictor` overrides the predecessor of
+    block 0 — the cross-shard DC hand-off hook used by parallel/sharding."""
+    prev = jnp.concatenate([jnp.zeros((1,), dc.dtype), dc[:-1]])
+    if first_predictor is not None:
+        prev = prev.at[0].set(first_predictor.astype(dc.dtype))
+    return dc - prev
+
+
+def ac_symbols_and_structure(
+    coeffs_zz: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """AC run/size structure for int16/int32 [N, 64] zigzag blocks.
+
+    Returns (symbols, nonzero_mask, zrl_counts, eob_mask):
+      symbols  int32 [N, 63]: (run % 16) << 4 | category, valid where nonzero
+      nonzero  bool  [N, 63]
+      zrl      int32 [N, 63]: floor(run/16) ZRL emissions before each nonzero
+      eob      bool  [N]: block emits an EOB (trailing zeros exist)
+    """
+    ac = coeffs_zz[:, 1:].astype(jnp.int32)
+    n = ac.shape[0]
+    pos = jnp.arange(1, 64, dtype=jnp.int32)[None, :]
+    nz = ac != 0
+    nzpos = jnp.where(nz, pos, 0)
+    shifted = jnp.concatenate(
+        [jnp.zeros((n, 1), jnp.int32), nzpos[:, :-1]], axis=1
+    )
+    prev_nz = jax.lax.associative_scan(jnp.maximum, shifted, axis=1)
+    run = pos - prev_nz - 1
+    zrl = jnp.where(nz, run >> 4, 0)
+    cat = magnitude_category(ac)
+    symbols = ((run & 15) << 4) | cat
+    last_nz = jnp.max(nzpos, axis=1)
+    eob = last_nz < 63
+    return symbols, nz, zrl, eob
+
+
+def symbol_histograms(
+    coeffs_zz: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(dc_hist[16], ac_hist[256]) int32 for [N, 64] zigzag blocks whose DC
+    entries are already DPCM deltas (symbol_counting.rs:55-74 semantics)."""
+    dc_cat = magnitude_category(coeffs_zz[:, 0])
+    dc_hist = jnp.zeros((16,), jnp.int32).at[dc_cat].add(1, mode="drop")
+
+    symbols, nz, zrl, eob = ac_symbols_and_structure(coeffs_zz)
+    ac_hist = jnp.zeros((256,), jnp.int32)
+    ac_hist = ac_hist.at[symbols.reshape(-1)].add(
+        nz.reshape(-1).astype(jnp.int32), mode="drop"
+    )
+    ac_hist = ac_hist.at[0xF0].add(jnp.sum(zrl, dtype=jnp.int32))
+    ac_hist = ac_hist.at[0x00].add(jnp.sum(eob, dtype=jnp.int32))
+    return dc_hist, ac_hist

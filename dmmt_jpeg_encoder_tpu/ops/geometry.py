@@ -1,0 +1,99 @@
+"""Image geometry ops: MCU padding, chroma subsampling, blockization,
+MCU-entangled block order.
+
+TPU-first design notes:
+- Padding and subsampling are static-shape reshape/mean ops XLA fuses into
+  the surrounding elementwise work.
+- The reference's block-major "square structure" resort
+  (src/image/subsampling.rs:238-310) becomes a reshape/transpose; its P420
+  QuadFoldingIterator (src/...transformer/block_entangler.rs:24-91) becomes
+  a CONSTANT gather permutation computed at trace time, so the luma DC-DPCM
+  chain runs in MCU order with zero data-dependent control flow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import ChromaSubsamplingPreset, SubsamplingMethod
+
+
+def padded_size(height: int, width: int, preset: ChromaSubsamplingPreset) -> tuple[int, int]:
+    """Pad-to multiples of (v_rate*8, h_rate*8)
+    (reference: src/...jpeg/transformer.rs:48-51, padder.rs:12-20)."""
+    mh, mw = preset.mcu_height, preset.mcu_width
+    return (-(-height // mh) * mh, -(-width // mw) * mw)
+
+
+def pad_to_mcu_multiple(
+    rgb: jnp.ndarray, preset: ChromaSubsamplingPreset
+) -> jnp.ndarray:
+    """Pad [H, W, 3] with black (0.0 in normalized RGB) on the right/bottom
+    (reference: src/image/writer/jpeg/padder.rs:12-42)."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    ph, pw = padded_size(h, w, preset)
+    if (ph, pw) == (h, w):
+        return rgb
+    return jnp.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)))
+
+
+def subsample(chan: jnp.ndarray, preset: ChromaSubsamplingPreset) -> jnp.ndarray:
+    """Chroma subsampling on an MCU-padded channel [H, W].
+
+    Skip takes the top-left sample of each h x v cell; Average takes the
+    cell mean with the reference's summation order — the rect is pushed
+    column-major (x outer, y inner; src/image/subsampling.rs:108-122), so a
+    2x2 cell sums as ((tl + bl) + tr) + br. The channel is already padded to
+    rate multiples so the reference's border clamping never triggers.
+    """
+    hr, vr = preset.horizontal_rate, preset.vertical_rate
+    if hr == 1 and vr == 1:
+        return chan
+    h, w = chan.shape
+    cells = chan.reshape(h // vr, vr, w // hr, hr)
+    if preset.method is SubsamplingMethod.SKIP:
+        return cells[:, 0, :, 0]
+    if vr == 1:  # P422: (left + right) / 2
+        return (cells[:, 0, :, 0] + cells[:, 0, :, 1]) / 2.0
+    # P420: ((tl + bl) + tr) + br, then / 4
+    total = ((cells[:, 0, :, 0] + cells[:, 1, :, 0]) + cells[:, 0, :, 1]) + cells[:, 1, :, 1]
+    return total / 4.0
+
+
+def blockize(chan: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] -> [n_blocks, 8, 8] in raster block order (row of blocks at a
+    time), the reshape form of subsample_to_square_structure
+    (reference: src/image/subsampling.rs:137-142, 286-309)."""
+    h, w = chan.shape
+    return (
+        chan.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def entangle_permutation(
+    blocks_per_row: int, blocks_per_col: int, preset: ChromaSubsamplingPreset
+) -> np.ndarray | None:
+    """Constant permutation: entangled (MCU-order) position -> raster block
+    index, or None when the order is unchanged.
+
+    P420 only: each pair of luma block rows is refolded into 2x2 quads
+    (top-left, top-right, bottom-left, bottom-right), matching the
+    QuadFoldingIterator (reference: block_entangler.rs:69-91; P444/P422 pass
+    through, block_entangler.rs:10-21).
+    """
+    if preset is not ChromaSubsamplingPreset.P420:
+        return None
+    if blocks_per_col % 2 or blocks_per_row % 2:
+        # Cannot happen for MCU-padded images (IncompleteBlockLine analog).
+        raise ValueError("P420 entangling requires even block dimensions")
+    rows = np.arange(blocks_per_col // 2) * 2
+    cols = np.arange(blocks_per_row // 2) * 2
+    quads = np.empty((len(rows), len(cols), 4), dtype=np.int64)
+    quads[:, :, 0] = rows[:, None] * blocks_per_row + cols[None, :]
+    quads[:, :, 1] = rows[:, None] * blocks_per_row + cols[None, :] + 1
+    quads[:, :, 2] = (rows[:, None] + 1) * blocks_per_row + cols[None, :]
+    quads[:, :, 3] = (rows[:, None] + 1) * blocks_per_row + cols[None, :] + 1
+    return quads.reshape(-1)

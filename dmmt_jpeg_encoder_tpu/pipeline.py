@@ -1,0 +1,143 @@
+"""The single-chip encode pipeline.
+
+Device core: ONE jit-compiled, static-shape XLA program from raw RGB
+samples to (quantized zigzag coefficient blocks, symbol histograms):
+
+    normalize -> pad -> RGB->YCbCr -> subsample -> blockize (luma directly
+    into MCU-entangled order via a constant gather) -> batched 8x8 DCT ->
+    quantize + zigzag -> DC DPCM -> histograms
+
+This replaces the reference's lazy iterator chain + thread pool
+(reference: src/image/writer/jpeg/transformer.rs:188-221) with batched
+dataflow XLA fuses end to end. Everything after — Huffman table
+construction, scan packing, container — is the thin host tail
+(host_finalize / encoder.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import ChromaSubsamplingPreset, DCTVariant, EncoderConfig
+from .ops.color import rgb_to_ycbcr
+from .ops.dct import dct2d
+from .ops.geometry import (
+    blockize,
+    entangle_permutation,
+    pad_to_mcu_multiple,
+    padded_size,
+    subsample,
+)
+from .ops.quantize import quantize_zigzag
+from .entropy.categorize import dc_dpcm, symbol_histograms
+
+
+@dataclass
+class DeviceEncodeResult:
+    """Host-side view of the device outputs (numpy)."""
+
+    luma: np.ndarray      # int16 [NL, 64] zigzag, DC = DPCM delta, MCU order
+    cb: np.ndarray        # int16 [NC, 64]
+    cr: np.ndarray        # int16 [NC, 64]
+    luma_dc_hist: np.ndarray    # int32 [16]
+    luma_ac_hist: np.ndarray    # int32 [256]
+    chroma_dc_hist: np.ndarray  # int32 [16]
+    chroma_ac_hist: np.ndarray  # int32 [256]
+
+
+def encode_blocks_from_planes(
+    y: jnp.ndarray,
+    cb: jnp.ndarray,
+    cr: jnp.ndarray,
+    luma_q: jnp.ndarray,
+    chroma_q: jnp.ndarray,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    entangle: np.ndarray | None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Shared tail from YCbCr planes to DPCM'd zigzag blocks.
+
+    Factored out so the sharded (shard_map) pipeline can reuse it per shard.
+    """
+    luma_blocks = blockize(y)
+    if entangle is not None:
+        luma_blocks = luma_blocks[jnp.asarray(entangle)]
+    cb_blocks = blockize(subsample(cb, preset))
+    cr_blocks = blockize(subsample(cr, preset))
+
+    luma_zz = quantize_zigzag(dct2d(luma_blocks, variant), luma_q)
+    cb_zz = quantize_zigzag(dct2d(cb_blocks, variant), chroma_q)
+    cr_zz = quantize_zigzag(dct2d(cr_blocks, variant), chroma_q)
+
+    luma_zz = luma_zz.at[:, 0].set(dc_dpcm(luma_zz[:, 0]))
+    cb_zz = cb_zz.at[:, 0].set(dc_dpcm(cb_zz[:, 0]))
+    cr_zz = cr_zz.at[:, 0].set(dc_dpcm(cr_zz[:, 0]))
+    return luma_zz, cb_zz, cr_zz
+
+
+@lru_cache(maxsize=32)
+def _compiled_pipeline(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+):
+    ph, pw = padded_size(height, width, preset)
+    entangle = entangle_permutation(pw // 8, ph // 8, preset)
+
+    def pipeline(rgb_u16, maxval, luma_q, chroma_q):
+        rgb = rgb_u16.astype(jnp.float32) / maxval
+        rgb = pad_to_mcu_multiple(rgb, preset)
+        y, cb, cr = rgb_to_ycbcr(rgb)
+        luma_zz, cb_zz, cr_zz = encode_blocks_from_planes(
+            y, cb, cr, luma_q, chroma_q, preset, variant, entangle
+        )
+        l_dc, l_ac = symbol_histograms(luma_zz)
+        cb_dc, cb_ac = symbol_histograms(cb_zz)
+        cr_dc, cr_ac = symbol_histograms(cr_zz)
+        return (
+            luma_zz,
+            cb_zz,
+            cr_zz,
+            l_dc,
+            l_ac,
+            cb_dc + cr_dc,
+            cb_ac + cr_ac,
+        )
+
+    return jax.jit(pipeline)
+
+
+def run_device_pipeline(
+    pixels: np.ndarray,
+    maxval: int,
+    config: EncoderConfig,
+    luma_q: np.ndarray,
+    chroma_q: np.ndarray,
+) -> DeviceEncodeResult:
+    """Execute the jitted pipeline and materialize outputs on host."""
+    height, width = int(pixels.shape[0]), int(pixels.shape[1])
+    fn = _compiled_pipeline(
+        height, width, config.chroma_subsampling, config.dct_variant
+    )
+    outputs = fn(
+        jnp.asarray(pixels),
+        jnp.float32(maxval),
+        jnp.asarray(luma_q),
+        jnp.asarray(chroma_q),
+    )
+    luma, cb, cr, ldc, lac, cdc, cac = jax.device_get(outputs)
+    return DeviceEncodeResult(
+        luma=luma,
+        cb=cb,
+        cr=cr,
+        luma_dc_hist=ldc,
+        luma_ac_hist=lac,
+        chroma_dc_hist=cdc,
+        chroma_ac_hist=cac,
+    )
