@@ -1,0 +1,118 @@
+"""Headline benchmark: 4K (3840x2160) RGB -> baseline JPEG throughput.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "Mpix/s", "vs_baseline": N}
+
+vs_baseline is relative to the 1 Gpixel/s/chip target (BASELINE.md).
+Runs on whatever jax.devices() provides (the real TPU chip under the
+driver; CPU elsewhere). Extra component timings go to stderr.
+
+Usage: python bench.py [--rounds N] [--width W] [--height H] [--preset P]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=8)
+    ap.add_argument("--width", type=int, default=3840)
+    ap.add_argument("--height", type=int, default=2160)
+    ap.add_argument("--preset", default="P420")
+    ap.add_argument("--device-only", action="store_true",
+                    help="benchmark only the jitted device pipeline")
+    args = ap.parse_args()
+
+    import jax
+    from dmmt_jpeg_encoder_tpu import ChromaSubsamplingPreset, EncoderConfig
+    from dmmt_jpeg_encoder_tpu.config import QuantizationTablePreset
+    from dmmt_jpeg_encoder_tpu.encoder import HuffmanTables, encode_array, pack_scan
+    from dmmt_jpeg_encoder_tpu.pipeline import run_device_pipeline
+    from dmmt_jpeg_encoder_tpu.tables import quantization_table_pair
+
+    h, w = args.height, args.width
+    mpix = h * w / 1e6
+    config = EncoderConfig(
+        chroma_subsampling=ChromaSubsamplingPreset(args.preset)
+    )
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    # Synthetic photographic-ish content: smooth gradients + mild noise
+    # (compressible like a real photo, not pathological noise).
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (
+        96
+        + 80 * np.sin(xx / 97.0)
+        + 60 * np.cos(yy / 71.0)
+        + rng.normal(0, 6, (h, w))
+    )
+    pixels = np.clip(
+        np.stack([base, base * 0.9 + 10, base * 1.1 - 8], axis=-1), 0, 255
+    ).astype(np.uint16)
+
+    luma_q, chroma_q = quantization_table_pair(QuantizationTablePreset.SPECIFICATION)
+
+    # Warm-up: compile + first native-lib build.
+    t0 = time.perf_counter()
+    jpg = encode_array(pixels, 255, config)
+    print(
+        f"warmup (compile + encode): {time.perf_counter() - t0:.2f}s, "
+        f"output {len(jpg)} bytes",
+        file=sys.stderr,
+    )
+
+    # Component timing (stderr detail).
+    t0 = time.perf_counter()
+    result = run_device_pipeline(pixels, 255, config, luma_q, chroma_q)
+    t_device = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    tables = HuffmanTables.from_histograms(result)
+    t_tables = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pack_scan(result, tables, config)
+    t_pack = time.perf_counter() - t0
+    print(
+        f"components: device {t_device*1e3:.1f} ms | huffman {t_tables*1e3:.1f} ms "
+        f"| scan-pack {t_pack*1e3:.1f} ms",
+        file=sys.stderr,
+    )
+
+    times = []
+    for _ in range(args.rounds):
+        t0 = time.perf_counter()
+        if args.device_only:
+            run_device_pipeline(pixels, 255, config, luma_q, chroma_q)
+        else:
+            encode_array(pixels, 255, config)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    avg = sum(times) / len(times)
+    value = mpix / best
+    print(
+        f"e2e: best {best*1e3:.1f} ms, avg {avg*1e3:.1f} ms over {args.rounds} rounds",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "4k_rgb_to_jpeg_throughput",
+                "value": round(value, 2),
+                "unit": "Mpix/s",
+                "vs_baseline": round(value / 1000.0, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -76,17 +76,29 @@ def ac_symbols_and_structure(
 
 def symbol_histograms(
     coeffs_zz: jnp.ndarray,
+    block_mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(dc_hist[16], ac_hist[256]) int32 for [N, 64] zigzag blocks whose DC
-    entries are already DPCM deltas (symbol_counting.rs:55-74 semantics)."""
+    entries are already DPCM deltas (symbol_counting.rs:55-74 semantics).
+
+    `block_mask` (bool [N]) excludes blocks from the counts — the sharded
+    pipeline uses it to ignore alignment-padding blocks that exist only to
+    make the MCU-row count divisible by the shard count."""
+    weight = (
+        jnp.ones((coeffs_zz.shape[0],), jnp.int32)
+        if block_mask is None
+        else block_mask.astype(jnp.int32)
+    )
     dc_cat = magnitude_category(coeffs_zz[:, 0])
-    dc_hist = jnp.zeros((16,), jnp.int32).at[dc_cat].add(1, mode="drop")
+    dc_hist = jnp.zeros((16,), jnp.int32).at[dc_cat].add(weight, mode="drop")
 
     symbols, nz, zrl, eob = ac_symbols_and_structure(coeffs_zz)
     ac_hist = jnp.zeros((256,), jnp.int32)
     ac_hist = ac_hist.at[symbols.reshape(-1)].add(
-        nz.reshape(-1).astype(jnp.int32), mode="drop"
+        (nz & (weight[:, None] > 0)).reshape(-1).astype(jnp.int32), mode="drop"
     )
-    ac_hist = ac_hist.at[0xF0].add(jnp.sum(zrl, dtype=jnp.int32))
-    ac_hist = ac_hist.at[0x00].add(jnp.sum(eob, dtype=jnp.int32))
+    ac_hist = ac_hist.at[0xF0].add(jnp.sum(zrl * weight[:, None], dtype=jnp.int32))
+    ac_hist = ac_hist.at[0x00].add(
+        jnp.sum(eob.astype(jnp.int32) * weight, dtype=jnp.int32)
+    )
     return dc_hist, ac_hist

@@ -1,0 +1,228 @@
+"""Multi-chip encode: shard_map over MCU-row shards of the image.
+
+The reference's only parallelism is an OS thread pool over 8x8-block chunks
+with a shared mutable buffer (reference: src/cosine_transform.rs:55-73,
+src/image/writer/jpeg/transformer.rs:126-138). The TPU-native scale-out
+design instead shards the image by MCU rows across a 1-D device mesh:
+
+- every shard runs the identical static-shape pipeline on its slab
+  (color convert -> subsample -> entangled blockize -> DCT -> quantize);
+- the two whole-image sequential dependencies become collectives:
+  * DC DPCM hand-off: the last pre-delta DC of shard i seeds shard i+1's
+    chain via `lax.ppermute` (the reference's chain: categorize.rs:156-161);
+  * Huffman statistics: per-shard symbol histograms are `psum`'d so every
+    shard agrees on the global per-image tables (the reference counts over
+    whole channels: transformer.rs:201-207);
+- images whose MCU-row count is not divisible by the shard count are padded
+  with extra black MCU rows; those alignment blocks are masked out of the
+  histograms on device and dropped on host, so the output bitstream is
+  BIT-EXACTLY the single-chip (and reference) bitstream for any image size.
+
+On one host this runs over the local mesh; the same shard_map program laid
+over a multi-host mesh rides DCN for the psum (64+1024 ints) and one scalar
+ppermute per channel — nothing else crosses chips.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # JAX >= 0.4.35 moved shard_map out of experimental
+    from jax import shard_map as _shard_map_mod  # type: ignore[attr-defined]
+
+    shard_map = _shard_map_mod.shard_map if hasattr(_shard_map_mod, "shard_map") else _shard_map_mod
+except Exception:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+from ..config import ChromaSubsamplingPreset, DCTVariant, EncoderConfig
+from ..entropy.categorize import dc_dpcm, symbol_histograms
+from ..ops.color import rgb_to_ycbcr
+from ..ops.dct import dct2d
+from ..ops.geometry import (
+    blockize,
+    entangle_permutation,
+    padded_size,
+    subsample,
+)
+from ..ops.quantize import quantize_zigzag
+from ..pipeline import DeviceEncodeResult
+from ..tables import quantization_table_pair
+
+AXIS = "mcu_rows"
+
+
+def build_mesh(num_shards: int) -> Mesh:
+    devices = jax.devices()
+    if len(devices) < num_shards:
+        raise ValueError(
+            f"num_shards={num_shards} exceeds available devices ({len(devices)})"
+        )
+    return Mesh(np.asarray(devices[:num_shards]), (AXIS,))
+
+
+def _shard_geometry(
+    height: int, width: int, preset: ChromaSubsamplingPreset, num_shards: int
+) -> tuple[int, int, int, int]:
+    """(global padded H, padded W, MCU rows per shard, valid MCU rows)."""
+    ph, pw = padded_size(height, width, preset)
+    valid_mcu_rows = ph // preset.mcu_height
+    rows_per_shard = -(-valid_mcu_rows // num_shards)
+    ph_aligned = rows_per_shard * num_shards * preset.mcu_height
+    return ph_aligned, pw, rows_per_shard, valid_mcu_rows
+
+
+def _dc_handoff(zz: jnp.ndarray, num_shards: int) -> jnp.ndarray:
+    """Replace each shard's DC column with the globally-chained DPCM deltas:
+    shard i's first predictor is shard i-1's last raw DC (0 for shard 0)."""
+    last_dc = zz[-1:, 0]  # [1] raw DC of this shard's final block
+    prev = jax.lax.ppermute(
+        last_dc, AXIS, [(i, i + 1) for i in range(num_shards - 1)]
+    )  # shard 0 receives zeros
+    return zz.at[:, 0].set(dc_dpcm(zz[:, 0], first_predictor=prev[0]))
+
+
+@lru_cache(maxsize=16)
+def _compiled_sharded(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    num_shards: int,
+):
+    ph, pw, rows_per_shard, valid_mcu_rows = _shard_geometry(
+        height, width, preset, num_shards
+    )
+    shard_h = rows_per_shard * preset.mcu_height
+    entangle = entangle_permutation(pw // 8, shard_h // 8, preset)
+    # Per-shard block geometry (all static).
+    luma_blocks_per_mcu_row = (pw // 8) * preset.vertical_rate
+    chroma_w = pw // preset.horizontal_rate
+    chroma_blocks_per_mcu_row = chroma_w // 8
+
+    mesh = build_mesh(num_shards)
+
+    def per_shard(rgb_u16, maxval, luma_q, chroma_q):
+        s = jax.lax.axis_index(AXIS)
+        valid_rows = jnp.clip(
+            valid_mcu_rows - s * rows_per_shard, 0, rows_per_shard
+        )
+
+        rgb = rgb_u16.astype(jnp.float32) / maxval
+        y, cb, cr = rgb_to_ycbcr(rgb)
+        luma_blocks = blockize(y)
+        if entangle is not None:
+            luma_blocks = luma_blocks[jnp.asarray(entangle)]
+        cb_blocks = blockize(subsample(cb, preset))
+        cr_blocks = blockize(subsample(cr, preset))
+
+        luma_zz = quantize_zigzag(dct2d(luma_blocks, variant), luma_q)
+        cb_zz = quantize_zigzag(dct2d(cb_blocks, variant), chroma_q)
+        cr_zz = quantize_zigzag(dct2d(cr_blocks, variant), chroma_q)
+
+        luma_zz = _dc_handoff(luma_zz, num_shards)
+        cb_zz = _dc_handoff(cb_zz, num_shards)
+        cr_zz = _dc_handoff(cr_zz, num_shards)
+
+        # Alignment-padding MCU rows (beyond the true padded image) are
+        # masked out of the histograms and dropped on host.
+        luma_mask = (
+            jnp.arange(luma_zz.shape[0]) < valid_rows * luma_blocks_per_mcu_row
+        )
+        chroma_mask = (
+            jnp.arange(cb_zz.shape[0]) < valid_rows * chroma_blocks_per_mcu_row
+        )
+        l_dc, l_ac = symbol_histograms(luma_zz, luma_mask)
+        cb_dc, cb_ac = symbol_histograms(cb_zz, chroma_mask)
+        cr_dc, cr_ac = symbol_histograms(cr_zz, chroma_mask)
+        hists = jax.lax.psum(
+            (l_dc, l_ac, cb_dc + cr_dc, cb_ac + cr_ac), AXIS
+        )
+        return (luma_zz, cb_zz, cr_zz) + hists
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(), P(None), P(None)),
+        out_specs=(
+            P(AXIS, None),
+            P(AXIS, None),
+            P(AXIS, None),
+            P(),
+            P(),
+            P(),
+            P(),
+        ),
+    )
+    return jax.jit(sharded), mesh, (ph, pw, rows_per_shard, valid_mcu_rows)
+
+
+def run_sharded_pipeline(
+    pixels: np.ndarray,
+    maxval: int,
+    config: EncoderConfig,
+    luma_q: np.ndarray | None = None,
+    chroma_q: np.ndarray | None = None,
+) -> DeviceEncodeResult:
+    """Execute the multi-chip pipeline; returns host arrays with alignment
+    padding removed, byte-for-byte equivalent to the single-chip result."""
+    if luma_q is None or chroma_q is None:
+        luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
+    preset = config.chroma_subsampling
+    n = config.num_shards
+    height, width = int(pixels.shape[0]), int(pixels.shape[1])
+
+    fn, mesh, (ph, pw, rows_per_shard, valid_mcu_rows) = _compiled_sharded(
+        height, width, preset, config.dct_variant, n
+    )
+
+    padded = np.zeros((ph, pw, 3), dtype=np.uint16)
+    padded[:height, :width] = pixels
+    outputs = fn(
+        jnp.asarray(padded),
+        jnp.float32(maxval),
+        jnp.asarray(luma_q),
+        jnp.asarray(chroma_q),
+    )
+    luma, cb, cr, ldc, lac, cdc, cac = jax.device_get(outputs)
+
+    luma = _drop_alignment_blocks(
+        luma, n, rows_per_shard, valid_mcu_rows,
+        (pw // 8) * preset.vertical_rate,
+    )
+    chroma_per_row = (pw // preset.horizontal_rate) // 8
+    cb = _drop_alignment_blocks(cb, n, rows_per_shard, valid_mcu_rows, chroma_per_row)
+    cr = _drop_alignment_blocks(cr, n, rows_per_shard, valid_mcu_rows, chroma_per_row)
+
+    return DeviceEncodeResult(
+        luma=luma,
+        cb=cb,
+        cr=cr,
+        luma_dc_hist=ldc,
+        luma_ac_hist=lac,
+        chroma_dc_hist=cdc,
+        chroma_ac_hist=cac,
+    )
+
+
+def _drop_alignment_blocks(
+    blocks: np.ndarray,
+    num_shards: int,
+    rows_per_shard: int,
+    valid_mcu_rows: int,
+    blocks_per_mcu_row: int,
+) -> np.ndarray:
+    """Keep each shard's valid prefix (alignment padding is whole trailing
+    MCU rows, so validity is a prefix in entangled order)."""
+    per_shard = blocks.shape[0] // num_shards
+    keep = []
+    for s in range(num_shards):
+        valid_rows = min(max(valid_mcu_rows - s * rows_per_shard, 0), rows_per_shard)
+        keep.append(
+            blocks[s * per_shard : s * per_shard + valid_rows * blocks_per_mcu_row]
+        )
+    return np.concatenate(keep, axis=0)

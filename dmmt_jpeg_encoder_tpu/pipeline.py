@@ -80,13 +80,14 @@ def encode_blocks_from_planes(
     return luma_zz, cb_zz, cr_zz
 
 
-@lru_cache(maxsize=32)
-def _compiled_pipeline(
+def build_pipeline_fn(
     height: int,
     width: int,
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
 ):
+    """The raw (unjitted) device program for a HxW image: uint16 RGB ->
+    (zigzag blocks x3, histograms x4). Static-shape, jit/shard-ready."""
     ph, pw = padded_size(height, width, preset)
     entangle = entangle_permutation(pw // 8, ph // 8, preset)
 
@@ -110,7 +111,17 @@ def _compiled_pipeline(
             cb_ac + cr_ac,
         )
 
-    return jax.jit(pipeline)
+    return pipeline
+
+
+@lru_cache(maxsize=32)
+def _compiled_pipeline(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+):
+    return jax.jit(build_pipeline_fn(height, width, preset, variant))
 
 
 def run_device_pipeline(

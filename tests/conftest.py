@@ -1,0 +1,46 @@
+"""Test configuration: force an 8-virtual-device CPU JAX backend.
+
+Tests never require TPU hardware; the multi-chip (shard_map) path is
+exercised on a virtual 8-device CPU mesh exactly as the driver's
+dryrun_multichip does. These env vars must be set before jax initializes.
+"""
+
+import os
+
+# The axon TPU plugin (sitecustomize in PYTHONPATH) imports jax at
+# interpreter startup and forces jax_platforms="axon,cpu"; override it via
+# jax.config (env vars are already consumed) BEFORE any backend initializes.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_FIXTURES = Path("/root/reference/tests")
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir():
+    if not REFERENCE_FIXTURES.is_dir():
+        pytest.skip("reference fixtures not available")
+    return REFERENCE_FIXTURES
