@@ -140,6 +140,11 @@ class EncoderConfig:
     dct_variant: DCTVariant = DCTVariant.ARAI
     # Number of mesh shards for multi-chip encode (1 = single chip).
     num_shards: int = 1
+    # Entropy-scan assembly: "device" packs the bitstream on the accelerator
+    # (bitstream/device_pack.py, ~64x smaller device->host transfer), "host"
+    # re-encodes coefficients with the native-C/Python packer, "auto" picks
+    # device on accelerators and host-C on the CPU backend.
+    scan_backend: str = "auto"
 
     def __post_init__(self) -> None:
         if self.bits_per_channel not in (8, 16, 32):

@@ -37,10 +37,10 @@ class HuffmanTables:
     @classmethod
     def from_histograms(cls, result: DeviceEncodeResult) -> "HuffmanTables":
         return cls(
-            luma_dc=code_lengths_from_histogram(result.luma_dc_hist),
-            luma_ac=code_lengths_from_histogram(result.luma_ac_hist),
-            chroma_dc=code_lengths_from_histogram(result.chroma_dc_hist),
-            chroma_ac=code_lengths_from_histogram(result.chroma_ac_hist),
+            luma_dc=code_lengths_from_histogram(np.asarray(result.luma_dc_hist)),
+            luma_ac=code_lengths_from_histogram(np.asarray(result.luma_ac_hist)),
+            chroma_dc=code_lengths_from_histogram(np.asarray(result.chroma_dc_hist)),
+            chroma_ac=code_lengths_from_histogram(np.asarray(result.chroma_ac_hist)),
         )
 
 
@@ -50,10 +50,45 @@ def pack_scan(
     config: EncoderConfig,
     use_native: bool = True,
 ) -> bytes:
+    backend = config.scan_backend
+    if backend == "auto":
+        import jax
+
+        backend = "device" if jax.default_backend() != "cpu" else "host"
+    if backend == "device":
+        from .bitstream.device_pack import device_pack_scan, exact_scan_bits
+
+        ldc = flat_code_arrays(tables.luma_dc)
+        lac = flat_code_arrays(tables.luma_ac)
+        cdc = flat_code_arrays(tables.chroma_dc)
+        cac = flat_code_arrays(tables.chroma_ac)
+        known_bits = exact_scan_bits(
+            (
+                np.asarray(result.luma_dc_hist),
+                np.asarray(result.luma_ac_hist),
+                np.asarray(result.chroma_dc_hist),
+                np.asarray(result.chroma_ac_hist),
+            ),
+            ldc,
+            lac,
+            cdc,
+            cac,
+        )
+        return device_pack_scan(
+            result.luma,
+            result.cb,
+            result.cr,
+            config.chroma_subsampling.luma_blocks_per_mcu,
+            ldc,
+            lac,
+            cdc,
+            cac,
+            known_bits=known_bits,
+        )
     return encode_scan(
-        result.luma,
-        result.cb,
-        result.cr,
+        np.asarray(result.luma),
+        np.asarray(result.cb) if result.cb is not None else None,
+        np.asarray(result.cr) if result.cr is not None else None,
         config.chroma_subsampling.luma_blocks_per_mcu,
         flat_code_arrays(tables.luma_dc),
         flat_code_arrays(tables.luma_ac),
@@ -63,22 +98,31 @@ def pack_scan(
     )
 
 
+def _narrow_pixels(pixels: np.ndarray, maxval: int) -> np.ndarray:
+    """uint8 upload when the sample range allows — halves host->device
+    traffic; the device pipeline normalizes by maxval either way."""
+    if maxval <= 255 and pixels.dtype != np.uint8:
+        return pixels.astype(np.uint8)
+    return pixels
+
+
 def encode_array(
     pixels: np.ndarray,
     maxval: int = 255,
     config: EncoderConfig | None = None,
     use_native: bool = True,
 ) -> bytes:
-    """uint16 RGB [H, W, 3] samples -> complete JPEG bytes."""
+    """uint8/uint16 RGB [H, W, 3] samples -> complete JPEG bytes."""
     config = config or EncoderConfig()
+    luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
     if config.num_shards > 1:
         from .parallel.sharding import run_sharded_pipeline
 
-        result = run_sharded_pipeline(pixels, maxval, config)
+        result = run_sharded_pipeline(pixels, maxval, config, luma_q, chroma_q)
     else:
-        luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
-        result = run_device_pipeline(pixels, maxval, config, luma_q, chroma_q)
-    luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
+        result = run_device_pipeline(
+            _narrow_pixels(pixels, maxval), maxval, config, luma_q, chroma_q
+        )
     tables = HuffmanTables.from_histograms(result)
     scan = pack_scan(result, tables, config, use_native=use_native)
     return assemble_jpeg(
@@ -94,6 +138,147 @@ def encode_array(
         chroma_ac=tables.chroma_ac,
         scan_bytes=scan,
     )
+
+
+def encode_batch(
+    images: list[np.ndarray],
+    maxval: int = 255,
+    config: EncoderConfig | None = None,
+    fused_batch: int = 8,
+) -> list[bytes]:
+    """Encode many images at batch throughput.
+
+    Same-shape images go through the FUSED path: one batched device dispatch
+    for the whole pipeline (vmap), one histogram fetch, one batched
+    scan-pack dispatch, one contiguous word fetch — two device round trips
+    per `fused_batch` images instead of two per image. Mixed shapes or host
+    scan backends fall back to a two-deep software pipeline that overlaps
+    device dispatch with host table-build/packing. (The reference encodes
+    one image per process; batch encode is this framework's throughput
+    scenario, BASELINE.md.)"""
+    config = config or EncoderConfig()
+    if config.num_shards > 1:
+        return [encode_array(px, maxval, config) for px in images]
+
+    import jax
+
+    backend = config.scan_backend
+    if backend == "auto":
+        backend = "device" if jax.default_backend() != "cpu" else "host"
+    same_shape = len({px.shape for px in images}) == 1
+    if backend == "device" and same_shape and len(images) > 1 and fused_batch > 1:
+        out: list[bytes] = []
+        for i in range(0, len(images), fused_batch):
+            out.extend(
+                _encode_batch_fused(images[i : i + fused_batch], maxval, config)
+            )
+        return out
+    luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
+
+    results: list[DeviceEncodeResult | None] = [None] * len(images)
+    out: list[bytes | None] = [None] * len(images)
+
+    def finish(i: int) -> None:
+        result = results[i]
+        tables = HuffmanTables.from_histograms(result)
+        scan = pack_scan(result, tables, config)
+        out[i] = assemble_jpeg(
+            width=int(images[i].shape[1]),
+            height=int(images[i].shape[0]),
+            bits_per_channel=config.bits_per_channel,
+            preset=config.chroma_subsampling,
+            luma_quant=luma_q,
+            chroma_quant=chroma_q,
+            luma_dc=tables.luma_dc,
+            luma_ac=tables.luma_ac,
+            chroma_dc=tables.chroma_dc,
+            chroma_ac=tables.chroma_ac,
+            scan_bytes=scan,
+        )
+        results[i] = None  # release device blocks
+
+    for i, px in enumerate(images):
+        results[i] = run_device_pipeline(
+            _narrow_pixels(px, maxval), maxval, config, luma_q, chroma_q
+        )
+        if i > 0:
+            finish(i - 1)
+    finish(len(images) - 1)
+    return out
+
+
+def _encode_batch_fused(
+    images: list[np.ndarray], maxval: int, config: EncoderConfig
+) -> list[bytes]:
+    """One batched pipeline dispatch + one batched scan-pack dispatch."""
+    import jax
+
+    from .bitstream.device_pack import (
+        device_pack_scan_batch,
+        exact_scan_bits,
+    )
+    from .pipeline import run_device_pipeline_batch
+
+    luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
+    stacked = np.stack([_narrow_pixels(px, maxval) for px in images])
+    b = len(images)
+
+    outputs = run_device_pipeline_batch(stacked, maxval, config, luma_q, chroma_q)
+    luma, cb, cr = outputs[0], outputs[1], outputs[2]
+    hists = jax.device_get(outputs[3:])  # sync #1: [B,16]/[B,256] x4
+
+    tables_list, flats, bits_list = [], [], []
+    for i in range(b):
+        result = DeviceEncodeResult(
+            luma=None, cb=None, cr=None,
+            luma_dc_hist=hists[0][i],
+            luma_ac_hist=hists[1][i],
+            chroma_dc_hist=hists[2][i],
+            chroma_ac_hist=hists[3][i],
+        )
+        tables = HuffmanTables.from_histograms(result)
+        flat = (
+            flat_code_arrays(tables.luma_dc),
+            flat_code_arrays(tables.luma_ac),
+            flat_code_arrays(tables.chroma_dc),
+            flat_code_arrays(tables.chroma_ac),
+        )
+        tables_list.append(tables)
+        flats.append(flat)
+        bits_list.append(
+            exact_scan_bits(
+                (hists[0][i], hists[1][i], hists[2][i], hists[3][i]), *flat
+            )
+        )
+
+    total_words = sum((bits + 31) // 32 for bits in bits_list)
+    # Bucket the static output capacity (power of two) so jit re-use is high.
+    words_cap = 1 << max(12, (total_words + len(images)).bit_length())
+    scans = device_pack_scan_batch(
+        luma, cb, cr,
+        config.chroma_subsampling.luma_blocks_per_mcu,
+        flats, bits_list, words_cap,
+    )  # sync #2
+
+    out = []
+    for i in range(b):
+        tables = tables_list[i]
+        out.append(
+            assemble_jpeg(
+                width=int(images[i].shape[1]),
+                height=int(images[i].shape[0]),
+                bits_per_channel=config.bits_per_channel,
+                preset=config.chroma_subsampling,
+                luma_quant=luma_q,
+                chroma_quant=chroma_q,
+                luma_dc=tables.luma_dc,
+                luma_ac=tables.luma_ac,
+                chroma_dc=tables.chroma_dc,
+                chroma_ac=tables.chroma_ac,
+                scan_bytes=scans[i],
+            )
+        )
+    return out
 
 
 def encode_ppm_image(

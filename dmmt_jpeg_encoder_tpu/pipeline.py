@@ -39,7 +39,10 @@ from .entropy.categorize import dc_dpcm, symbol_histograms
 
 @dataclass
 class DeviceEncodeResult:
-    """Host-side view of the device outputs (numpy)."""
+    """Pipeline outputs. Histograms are always host numpy (they gate the
+    host-side Huffman build); the coefficient blocks may still be
+    DEVICE-RESIDENT jax arrays so the device scan packer can consume them
+    without a 25 MB round trip — np.asarray() them for host paths."""
 
     luma: np.ndarray      # int16 [NL, 64] zigzag, DC = DPCM delta, MCU order
     cb: np.ndarray        # int16 [NC, 64]
@@ -124,6 +127,40 @@ def _compiled_pipeline(
     return jax.jit(build_pipeline_fn(height, width, preset, variant))
 
 
+@lru_cache(maxsize=16)
+def _compiled_pipeline_batch(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+):
+    """vmap of the single-image program over a leading batch axis — one
+    dispatch for B images (amortizes per-dispatch latency)."""
+    fn = build_pipeline_fn(height, width, preset, variant)
+    return jax.jit(jax.vmap(fn, in_axes=(0, None, None, None)))
+
+
+def run_device_pipeline_batch(
+    pixels: np.ndarray,
+    maxval: int,
+    config: EncoderConfig,
+    luma_q: np.ndarray,
+    chroma_q: np.ndarray,
+):
+    """[B, H, W, 3] -> batched DeviceEncodeResult-like tuple of jax arrays:
+    (luma [B,NL,64], cb, cr, dc/ac histograms [B,...])."""
+    height, width = int(pixels.shape[1]), int(pixels.shape[2])
+    fn = _compiled_pipeline_batch(
+        height, width, config.chroma_subsampling, config.dct_variant
+    )
+    return fn(
+        jnp.asarray(pixels),
+        jnp.float32(maxval),
+        jnp.asarray(luma_q),
+        jnp.asarray(chroma_q),
+    )
+
+
 def run_device_pipeline(
     pixels: np.ndarray,
     maxval: int,
@@ -142,13 +179,15 @@ def run_device_pipeline(
         jnp.asarray(luma_q),
         jnp.asarray(chroma_q),
     )
-    luma, cb, cr, ldc, lac, cdc, cac = jax.device_get(outputs)
+    # Everything stays device-resident; dispatch is asynchronous, so the
+    # caller can issue further work before the first histogram fetch
+    # (HuffmanTables.from_histograms) synchronizes.
     return DeviceEncodeResult(
-        luma=luma,
-        cb=cb,
-        cr=cr,
-        luma_dc_hist=ldc,
-        luma_ac_hist=lac,
-        chroma_dc_hist=cdc,
-        chroma_ac_hist=cac,
+        luma=outputs[0],
+        cb=outputs[1],
+        cr=outputs[2],
+        luma_dc_hist=outputs[3],
+        luma_ac_hist=outputs[4],
+        chroma_dc_hist=outputs[5],
+        chroma_ac_hist=outputs[6],
     )
