@@ -73,9 +73,16 @@ def encode_blocks_from_planes(
     cb_blocks = blockize(subsample(cb, preset))
     cr_blocks = blockize(subsample(cr, preset))
 
-    luma_zz = quantize_zigzag(dct2d(luma_blocks, variant), luma_q)
-    cb_zz = quantize_zigzag(dct2d(cb_blocks, variant), chroma_q)
-    cr_zz = quantize_zigzag(dct2d(cr_blocks, variant), chroma_q)
+    if variant is DCTVariant.FUSED:
+        from .ops.fused import fused_dct_quantize_zigzag
+
+        luma_zz = fused_dct_quantize_zigzag(luma_blocks, luma_q)
+        cb_zz = fused_dct_quantize_zigzag(cb_blocks, chroma_q)
+        cr_zz = fused_dct_quantize_zigzag(cr_blocks, chroma_q)
+    else:
+        luma_zz = quantize_zigzag(dct2d(luma_blocks, variant), luma_q)
+        cb_zz = quantize_zigzag(dct2d(cb_blocks, variant), chroma_q)
+        cr_zz = quantize_zigzag(dct2d(cr_blocks, variant), chroma_q)
 
     luma_zz = luma_zz.at[:, 0].set(dc_dpcm(luma_zz[:, 0]))
     cb_zz = cb_zz.at[:, 0].set(dc_dpcm(cb_zz[:, 0]))
