@@ -70,9 +70,14 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    # Component timing (stderr detail).
+    # Component timing (stderr detail). uint8 pixels so the jitted pipeline
+    # from the warmup encode is reused (encode_array narrows automatically).
+    pixels8 = pixels.astype(np.uint8)
     t0 = time.perf_counter()
-    result = run_device_pipeline(pixels, 255, config, luma_q, chroma_q)
+    result = run_device_pipeline(pixels8, 255, config, luma_q, chroma_q)
+    import jax as _jax
+
+    _jax.block_until_ready(result.luma)
     t_device = time.perf_counter() - t0
     t0 = time.perf_counter()
     tables = HuffmanTables.from_histograms(result)
@@ -112,7 +117,7 @@ def main() -> int:
     batch = [
         np.ascontiguousarray(np.roll(pixels, i * 17, axis=0)) for i in range(args.batch)
     ]
-    encode_batch(batch[:2], 255, config)  # warm pipeline
+    encode_batch(batch, 255, config)  # warm: compiles the B-sized programs
     t0 = time.perf_counter()
     outs = encode_batch(batch, 255, config)
     t_batch = time.perf_counter() - t0

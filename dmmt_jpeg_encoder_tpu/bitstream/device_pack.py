@@ -65,6 +65,7 @@ def block_emissions(
     table_idx: jnp.ndarray,
     dc_comb: jnp.ndarray,
     ac_comb: jnp.ndarray,
+    groups: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-block emission triples for scan-order blocks.
 
@@ -79,14 +80,29 @@ def block_emissions(
     Returns (values u32 [N, 68], lens i32 [N, 68], rel_offs i32 [N, 68],
     block_bits i32 [N]).
     """
+    from ..ops.pallas_lookup import (
+        pallas_table_lookup,
+        pallas_table_lookup_grouped,
+    )
+
     v = zz.astype(jnp.int32)
     n = v.shape[0]
     cat = magnitude_category(v)  # [N, 64]
     chroma_off = table_idx
+    tmod = table_idx % 2  # 0=luma, 1=chroma within this block's table group
+
+    def _lookup(within_idx: jnp.ndarray, comb: jnp.ndarray, t: int) -> jnp.ndarray:
+        """Lookup with per-group tables when packing several images at once
+        (keeps the in-VMEM one-hot T wide instead of groups*T)."""
+        if groups == 1:
+            return pallas_table_lookup(within_idx, comb)
+        flat = within_idx.reshape(groups, -1)
+        out = pallas_table_lookup_grouped(flat, comb.reshape(groups, t))
+        return out.reshape(within_idx.shape)
 
     # --- DC ------------------------------------------------------------
     dccat = cat[:, 0]
-    dc_cl = dc_comb[chroma_off * 16 + dccat]
+    dc_cl = _lookup(tmod * 16 + dccat, dc_comb, 32)
     dccode = dc_cl >> 8
     dclen = (dc_cl & 0xFF).astype(jnp.int32)
     e_dc_val = (dccode << dccat) | _pattern(v[:, 0], dccat)
@@ -104,7 +120,7 @@ def block_emissions(
     zrl = jnp.where(nz, run >> 4, 0)  # ZRLs immediately before this nonzero
     sym = ((run & 15) << 4) | accat
 
-    ac_cl = ac_comb[(chroma_off[:, None] * 256) + sym]
+    ac_cl = _lookup((tmod[:, None] * 256) + sym, ac_comb, 512)
     accode = ac_cl >> 8
     aclen = (ac_cl & 0xFF).astype(jnp.int32)
     e_ac_val = jnp.where(nz, (accode << accat) | _pattern(ac, accat), 0)
@@ -398,7 +414,9 @@ def _compiled_pack_batch(
         tbl = (
             jnp.arange(b, dtype=jnp.int32)[:, None] * 2 + jnp.asarray(chroma_idx)[None, :]
         ).reshape(-1)
-        values, lens, offs, block_bits = block_emissions(scan, tbl, dc_comb, ac_comb)
+        values, lens, offs, block_bits = block_emissions(
+            scan, tbl, dc_comb, ac_comb, groups=b
+        )
 
         bb = block_bits.reshape(b, ns)
         in_img = jnp.cumsum(bb, axis=1) - bb  # exclusive, per image

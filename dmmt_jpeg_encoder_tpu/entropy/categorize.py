@@ -84,21 +84,55 @@ def symbol_histograms(
     `block_mask` (bool [N]) excludes blocks from the counts — the sharded
     pipeline uses it to ignore alignment-padding blocks that exist only to
     make the MCU-row count divisible by the shard count."""
+    from ..ops.pallas_histogram import pallas_histogram
+
     weight = (
         jnp.ones((coeffs_zz.shape[0],), jnp.int32)
         if block_mask is None
         else block_mask.astype(jnp.int32)
     )
     dc_cat = magnitude_category(coeffs_zz[:, 0])
-    dc_hist = jnp.zeros((16,), jnp.int32).at[dc_cat].add(weight, mode="drop")
+    dc_hist = pallas_histogram(dc_cat, weight.astype(jnp.float32), 16)
 
     symbols, nz, zrl, eob = ac_symbols_and_structure(coeffs_zz)
-    ac_hist = jnp.zeros((256,), jnp.int32)
-    ac_hist = ac_hist.at[symbols.reshape(-1)].add(
-        (nz & (weight[:, None] > 0)).reshape(-1).astype(jnp.int32), mode="drop"
+    ac_hist = pallas_histogram(
+        symbols,
+        (nz & (weight[:, None] > 0)).astype(jnp.float32),
+        256,
     )
     ac_hist = ac_hist.at[0xF0].add(jnp.sum(zrl * weight[:, None], dtype=jnp.int32))
     ac_hist = ac_hist.at[0x00].add(
         jnp.sum(eob.astype(jnp.int32) * weight, dtype=jnp.int32)
+    )
+    return dc_hist, ac_hist
+
+
+def batched_symbol_histograms(
+    coeffs_zz: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-image histograms for [B, N, 64] blocks -> ([B,16], [B,256]).
+
+    Same semantics as symbol_histograms per image, computed with grouped
+    Pallas kernels (one grid, no vmap-over-pallas)."""
+    from ..ops.pallas_histogram import pallas_histogram_grouped
+
+    b, n, _ = coeffs_zz.shape
+    flat = coeffs_zz.reshape(b * n, 64)
+    dc_cat = magnitude_category(flat[:, 0]).reshape(b, n)
+    dc_hist = pallas_histogram_grouped(
+        dc_cat, jnp.ones((b, n), jnp.float32), 16
+    )
+
+    symbols, nz, zrl, eob = ac_symbols_and_structure(flat)
+    ac_hist = pallas_histogram_grouped(
+        symbols.reshape(b, n * 63),
+        nz.reshape(b, n * 63).astype(jnp.float32),
+        256,
+    )
+    ac_hist = ac_hist.at[:, 0xF0].add(
+        jnp.sum(zrl.reshape(b, -1), axis=1, dtype=jnp.int32)
+    )
+    ac_hist = ac_hist.at[:, 0x00].add(
+        jnp.sum(eob.reshape(b, n).astype(jnp.int32), axis=1)
     )
     return dc_hist, ac_hist

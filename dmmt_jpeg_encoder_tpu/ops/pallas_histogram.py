@@ -1,0 +1,167 @@
+"""Pallas histogram kernel: symbol counts without XLA scatter.
+
+symbol_histograms' scatter-adds ([N*63] indices into 256 bins) lower to a
+slow serialized scatter on TPU. This kernel instead builds, per tile, a
+one-hot matrix IN VMEM (never materialized to HBM) and reduces it with one
+MXU matmul:
+
+    hist_tile[s] = sum_i onehot(sym[i], s)  ==  ones[1, T] @ onehot[T, S]
+
+accumulating across the (sequential) grid into the output block. f32 is
+exact for counts < 2^24 — far above any per-tile count here.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# 32 x 128 = 4096 symbols per grid step; the in-VMEM one-hot is then
+# [4096, 256] f32 = 4 MB, comfortably inside the ~16 MB VMEM budget.
+TILE_ROWS = 32
+LANES = 128
+
+
+def _hist_kernel(sym_ref, weight_ref, out_ref):
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    sym = sym_ref[:]  # [TILE_ROWS, LANES] int32
+    w = weight_ref[:]  # [TILE_ROWS, LANES] f32 (0 where padding)
+    n_bins = out_ref.shape[-1]
+    flat_s = sym.reshape(-1, 1)
+    flat_w = w.reshape(-1, 1)
+    bins = lax.broadcasted_iota(jnp.int32, (1, n_bins), 1)
+    onehot = jnp.where(flat_s == bins, flat_w, 0.0)  # [T*L, n_bins] in VMEM
+    out_ref[:] = out_ref[:] + jnp.sum(onehot, axis=0, keepdims=True)
+
+
+def pallas_histogram(
+    symbols: jnp.ndarray, weights: jnp.ndarray, n_bins: int
+) -> jnp.ndarray:
+    """Weighted histogram of int32 symbols (flat, any shape) -> int32 [n_bins].
+
+    Weights are f32 (use 0.0 to drop padding entries). Falls back to XLA
+    scatter-add off-TPU.
+    """
+    import os
+
+    flat_s = symbols.reshape(-1).astype(jnp.int32)
+    flat_w = weights.reshape(-1).astype(jnp.float32)
+    interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
+    if jax.default_backend() != "tpu" and not interpret:
+        hist = jnp.zeros((n_bins,), jnp.float32).at[flat_s].add(
+            flat_w, mode="drop"
+        )
+        return hist.astype(jnp.int32)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    per_tile = TILE_ROWS * LANES
+    n = flat_s.shape[0]
+    n_pad = -(-n // per_tile) * per_tile
+    if n_pad != n:
+        flat_s = jnp.pad(flat_s, (0, n_pad - n))
+        flat_w = jnp.pad(flat_w, (0, n_pad - n))  # zero weight => no count
+    sym2 = flat_s.reshape(-1, LANES)
+    w2 = flat_w.reshape(-1, LANES)
+    grid = n_pad // per_tile
+
+    out = pl.pallas_call(
+        _hist_kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(
+                (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, n_bins), jnp.float32),
+        interpret=interpret,
+    )(sym2, w2)
+    return out[0].astype(jnp.int32)
+
+
+def _hist_kernel_grouped(sym_ref, weight_ref, out_ref):
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    sym = sym_ref[0]  # [TILE_ROWS, LANES]
+    w = weight_ref[0]
+    n_bins = out_ref.shape[-1]
+    flat_s = sym.reshape(-1, 1)
+    flat_w = w.reshape(-1, 1)
+    bins = lax.broadcasted_iota(jnp.int32, (1, n_bins), 1)
+    onehot = jnp.where(flat_s == bins, flat_w, 0.0)
+    out_ref[:] = out_ref[:] + jnp.sum(onehot, axis=0).reshape(1, 1, n_bins)
+
+
+def pallas_histogram_grouped(
+    symbols: jnp.ndarray, weights: jnp.ndarray, n_bins: int
+) -> jnp.ndarray:
+    """Per-group weighted histograms: [G, M] symbols -> int32 [G, n_bins].
+
+    The grid walks (group, tile); each group accumulates into its own
+    output row (batched multi-image packing uses one group per image)."""
+    import os
+
+    g, m = symbols.shape
+    interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
+    if jax.default_backend() != "tpu" and not interpret:
+        flat_s = symbols.astype(jnp.int32) + (
+            jnp.arange(g, dtype=jnp.int32)[:, None] * n_bins
+        )
+        hist = jnp.zeros((g * n_bins,), jnp.float32).at[flat_s.reshape(-1)].add(
+            weights.reshape(-1).astype(jnp.float32), mode="drop"
+        )
+        return hist.reshape(g, n_bins).astype(jnp.int32)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    per_tile = TILE_ROWS * LANES
+    m_pad = -(-m // per_tile) * per_tile
+    s = symbols.astype(jnp.int32)
+    w = weights.astype(jnp.float32)
+    if m_pad != m:
+        s = jnp.pad(s, ((0, 0), (0, m_pad - m)))
+        w = jnp.pad(w, ((0, 0), (0, m_pad - m)))
+    s3 = s.reshape(g, -1, LANES)
+    w3 = w.reshape(g, -1, LANES)
+    tiles = m_pad // per_tile
+
+    out = pl.pallas_call(
+        _hist_kernel_grouped,
+        grid=(g, tiles),
+        in_specs=[
+            pl.BlockSpec(
+                (1, TILE_ROWS, LANES),
+                lambda gi, ti: (gi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, TILE_ROWS, LANES),
+                lambda gi, ti: (gi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, n_bins), lambda gi, ti: (gi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((g, 1, n_bins), jnp.float32),
+        interpret=interpret,
+    )(s3, w3)
+    return out[:, 0].astype(jnp.int32)

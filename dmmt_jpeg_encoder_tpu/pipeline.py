@@ -141,10 +141,40 @@ def _compiled_pipeline_batch(
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
 ):
-    """vmap of the single-image program over a leading batch axis — one
-    dispatch for B images (amortizes per-dispatch latency)."""
-    fn = build_pipeline_fn(height, width, preset, variant)
-    return jax.jit(jax.vmap(fn, in_axes=(0, None, None, None)))
+    """One dispatch for B images: the per-image block pipeline is vmapped,
+    then per-image histograms run as GROUPED Pallas kernels (a pallas_call
+    cannot sit under vmap, and grouped grids are faster anyway)."""
+    from .entropy.categorize import batched_symbol_histograms
+
+    ph, pw = padded_size(height, width, preset)
+    entangle = entangle_permutation(pw // 8, ph // 8, preset)
+
+    def core(rgb_u16, maxval, luma_q, chroma_q):
+        rgb = rgb_u16.astype(jnp.float32) / maxval
+        rgb = pad_to_mcu_multiple(rgb, preset)
+        y, cb, cr = rgb_to_ycbcr(rgb)
+        return encode_blocks_from_planes(
+            y, cb, cr, luma_q, chroma_q, preset, variant, entangle
+        )
+
+    def batched(rgb_u16, maxval, luma_q, chroma_q):
+        luma_zz, cb_zz, cr_zz = jax.vmap(
+            core, in_axes=(0, None, None, None)
+        )(rgb_u16, maxval, luma_q, chroma_q)
+        l_dc, l_ac = batched_symbol_histograms(luma_zz)
+        cb_dc, cb_ac = batched_symbol_histograms(cb_zz)
+        cr_dc, cr_ac = batched_symbol_histograms(cr_zz)
+        return (
+            luma_zz,
+            cb_zz,
+            cr_zz,
+            l_dc,
+            l_ac,
+            cb_dc + cr_dc,
+            cb_ac + cr_ac,
+        )
+
+    return jax.jit(batched)
 
 
 def run_device_pipeline_batch(
