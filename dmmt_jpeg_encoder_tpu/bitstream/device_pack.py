@@ -288,12 +288,17 @@ def device_pack_scan(
     perm, is_luma = scan_order_permutation(n_luma, n_chroma, luma_per_mcu)
     if known_bits is not None:
         # Exact size known up front: use a power-of-two bucketed capacity so
-        # XLA's scatter copies a right-sized buffer (the worst-case bound is
-        # 64x the typical stream) while jit executables still get reused.
+        # the output buffer is right-sized (the worst-case bound is 64x the
+        # typical stream) while jit executables still get reused.
         needed_words = (known_bits + 31) // 32 + 2
-        n_words = 1 << max(12, needed_words.bit_length())
     else:
-        n_words = (n_luma + 2 * n_chroma) * (MAX_BLOCK_BITS // 32) + 2
+        needed_words = (n_luma + 2 * n_chroma) * (MAX_BLOCK_BITS // 32) + 2
+    if _use_pallas_pack():
+        from .pallas_pack import pack_words_capacity
+
+        n_words = pack_words_capacity(needed_words)
+    else:
+        n_words = 1 << max(12, int(needed_words).bit_length())
 
     fn = _compiled_pack(n_luma, n_chroma, luma_per_mcu, n_words)
     zeros16 = np.zeros(16, np.uint32)
@@ -326,6 +331,14 @@ def device_pack_scan(
     return finalize_scan_bytes(host_words, nbits)
 
 
+def _use_pallas_pack() -> bool:
+    import os
+
+    return jax.default_backend() == "tpu" or bool(
+        os.environ.get("DMMT_PALLAS_INTERPRET")
+    )
+
+
 @lru_cache(maxsize=32)
 def _compiled_pack(n_luma: int, n_chroma: int, luma_per_mcu: int, n_words: int):
     perm, is_luma = scan_order_permutation(n_luma, n_chroma, luma_per_mcu)
@@ -342,6 +355,10 @@ def _compiled_pack(n_luma: int, n_chroma: int, luma_per_mcu: int, n_words: int):
         values, lens, offs, block_bits = block_emissions(
             scan_blocks, jnp.asarray(table_idx), dc_comb, ac_comb
         )
+        if _use_pallas_pack():
+            from .pallas_pack import pallas_pack_words
+
+            return pallas_pack_words(values, lens, offs, block_bits, n_words)
         return pack_to_words(values, lens, offs, block_bits, n_words)
 
     return jax.jit(fn)
@@ -421,8 +438,17 @@ def _compiled_pack_batch(
         bb = block_bits.reshape(b, ns)
         in_img = jnp.cumsum(bb, axis=1) - bb  # exclusive, per image
         goff_blocks = word_off[:, None] * 32 + in_img  # [B, NS] global bits
-        goff = (goff_blocks.reshape(-1)[:, None] + offs).reshape(-1)
 
+        if _use_pallas_pack():
+            from .pallas_pack import pallas_pack_words
+
+            words, _ = pallas_pack_words(
+                values, lens, offs, block_bits, words_cap,
+                boff=goff_blocks.reshape(-1),
+            )
+            return words
+
+        goff = (goff_blocks.reshape(-1)[:, None] + offs).reshape(-1)
         val = values.reshape(-1)
         ln = lens.reshape(-1)
         w0 = goff >> 5

@@ -253,7 +253,14 @@ def _encode_batch_fused(
 
     total_words = sum((bits + 31) // 32 for bits in bits_list)
     # Bucket the static output capacity (power of two) so jit re-use is high.
-    words_cap = 1 << max(12, (total_words + len(images)).bit_length())
+    from .bitstream.device_pack import _use_pallas_pack
+
+    if _use_pallas_pack():
+        from .bitstream.pallas_pack import pack_words_capacity
+
+        words_cap = pack_words_capacity(total_words + len(images))
+    else:
+        words_cap = 1 << max(12, (total_words + len(images)).bit_length())
     scans = device_pack_scan_batch(
         luma, cb, cr,
         config.chroma_subsampling.luma_blocks_per_mcu,

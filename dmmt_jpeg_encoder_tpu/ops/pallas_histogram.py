@@ -1,14 +1,11 @@
 """Pallas histogram kernel: symbol counts without XLA scatter.
 
 symbol_histograms' scatter-adds ([N*63] indices into 256 bins) lower to a
-slow serialized scatter on TPU. This kernel instead builds, per tile, a
-one-hot matrix IN VMEM (never materialized to HBM) and reduces it with one
-MXU matmul:
-
-    hist_tile[s] = sum_i onehot(sym[i], s)  ==  ones[1, T] @ onehot[T, S]
-
-accumulating across the (sequential) grid into the output block. f32 is
-exact for counts < 2^24 — far above any per-tile count here.
+slow serialized scatter on TPU. This kernel instead reduces each tile once
+per bin with a compare+select+sum on the VPU (no scatter, and no cross-lane
+reshape, which Mosaic rejects), accumulating across the sequential grid
+into the output block. f32 is exact for counts < 2^24 — far above any
+count here.
 """
 
 from __future__ import annotations
@@ -17,28 +14,37 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# 32 x 128 = 4096 symbols per grid step; the in-VMEM one-hot is then
-# [4096, 256] f32 = 4 MB, comfortably inside the ~16 MB VMEM budget.
-TILE_ROWS = 32
+# 256 x 128 = 32K symbols per grid step (tile 128 KB in VMEM); the per-bin
+# loop reduces each tile once per bin, all on the VPU.
+TILE_ROWS = 256
 LANES = 128
 
 
-def _hist_kernel(sym_ref, weight_ref, out_ref):
+def _accumulate_bins(sym, w, n_bins):
+    """[1, n_bins] counts via a fori loop of masked reduces — Mosaic has no
+    vector scatter and rejects cross-lane reshapes, but per-bin
+    compare+select+reduce is pure VPU work."""
     import jax.lax as lax
+
+    bins = lax.broadcasted_iota(jnp.int32, (1, n_bins), 1)
+
+    def body(b, acc):
+        cnt = jnp.sum(jnp.where(sym == b, w, 0.0))
+        return acc + jnp.where(bins == b, cnt, 0.0)
+
+    return lax.fori_loop(0, n_bins, body, jnp.zeros((1, n_bins), jnp.float32))
+
+
+def _hist_kernel(sym_ref, weight_ref, out_ref):
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    sym = sym_ref[:]  # [TILE_ROWS, LANES] int32
-    w = weight_ref[:]  # [TILE_ROWS, LANES] f32 (0 where padding)
-    n_bins = out_ref.shape[-1]
-    flat_s = sym.reshape(-1, 1)
-    flat_w = w.reshape(-1, 1)
-    bins = lax.broadcasted_iota(jnp.int32, (1, n_bins), 1)
-    onehot = jnp.where(flat_s == bins, flat_w, 0.0)  # [T*L, n_bins] in VMEM
-    out_ref[:] = out_ref[:] + jnp.sum(onehot, axis=0, keepdims=True)
+    out_ref[:] = out_ref[:] + _accumulate_bins(
+        sym_ref[:], weight_ref[:], out_ref.shape[-1]
+    )
 
 
 def pallas_histogram(
@@ -92,21 +98,15 @@ def pallas_histogram(
 
 
 def _hist_kernel_grouped(sym_ref, weight_ref, out_ref):
-    import jax.lax as lax
     from jax.experimental import pallas as pl
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    sym = sym_ref[0]  # [TILE_ROWS, LANES]
-    w = weight_ref[0]
-    n_bins = out_ref.shape[-1]
-    flat_s = sym.reshape(-1, 1)
-    flat_w = w.reshape(-1, 1)
-    bins = lax.broadcasted_iota(jnp.int32, (1, n_bins), 1)
-    onehot = jnp.where(flat_s == bins, flat_w, 0.0)
-    out_ref[:] = out_ref[:] + jnp.sum(onehot, axis=0).reshape(1, 1, n_bins)
+    out_ref[:] = out_ref[:] + _accumulate_bins(
+        sym_ref[0], weight_ref[0], out_ref.shape[-1]
+    )[None]
 
 
 def pallas_histogram_grouped(

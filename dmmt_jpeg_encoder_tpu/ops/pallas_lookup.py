@@ -2,16 +2,18 @@
 
 XLA lowers `table[sym]` for millions of indices into a serialized TPU
 gather (~8 ns/element — ~100 ms for a 4K image's AC coefficients). This
-kernel instead computes the lookup as a one-hot matmul per tile:
+kernel instead sweeps the T table entries once per tile:
 
-    out[i] = sum_s (sym[i] == s) * table[s]      -- MXU dot, one pass
+    out[i] = sum_s (sym[i] == s) * table[s]
 
-with the one-hot living only in VMEM. f32 accumulation is exact because
+each iteration a scalar SMEM read broadcast into a full-tile
+compare+select on the VPU — no gather, no scatter, no cross-lane
+reshapes (which Mosaic rejects). f32 accumulation is exact because
 combined (code << 8 | len) entries are < 2^24.
 
-For batched multi-image packing the table has a leading per-image axis and
-the grid walks (image, tile); the BlockSpec index_map streams each image's
-own table slice into VMEM.
+For batched multi-image packing the tables have a leading per-image axis
+and the grid walks (image, tile); the BlockSpec index_map streams each
+image's own table slice into SMEM.
 """
 
 from __future__ import annotations
@@ -21,21 +23,24 @@ import os
 import jax
 import jax.numpy as jnp
 
-TILE_ROWS = 16  # x 128 lanes = 2048 lookups per grid step
+TILE_ROWS = 64  # x 128 lanes = 8192 lookups per grid step
 LANES = 128
 
 
-def _lookup_kernel(sym_ref, tab_ref, out_ref):
+def _select_lookup(sym, tab_ref, t):
+    """Gather-free lookup: fori over the T table entries, each a scalar SMEM
+    read broadcast into a compare+select over the tile (pure VPU)."""
     import jax.lax as lax
 
-    sym = sym_ref[:]  # [TILE_ROWS, LANES] int32
-    tab = tab_ref[:]  # [1, T] f32
-    t = tab.shape[-1]
-    flat = sym.reshape(-1, 1)  # [R, 1]
-    ids = lax.broadcasted_iota(jnp.int32, (1, t), 1)
-    onehot = (flat == ids).astype(jnp.float32)  # [R, T] VMEM only
-    vals = jnp.dot(onehot, tab.reshape(t, 1), preferred_element_type=jnp.float32)
-    out_ref[:] = vals.reshape(sym.shape)
+    def body(s, acc):
+        entry = tab_ref[0, s]  # scalar read at dynamic index (SMEM)
+        return acc + jnp.where(sym == s, entry, 0.0)
+
+    return lax.fori_loop(0, t, body, jnp.zeros(sym.shape, jnp.float32))
+
+
+def _lookup_kernel(sym_ref, tab_ref, out_ref):
+    out_ref[:] = _select_lookup(sym_ref[:], tab_ref, tab_ref.shape[-1])
 
 
 def pallas_table_lookup(symbols: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
@@ -71,7 +76,7 @@ def pallas_table_lookup(symbols: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray
             pl.BlockSpec(
                 (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((1, t), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (TILE_ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -83,16 +88,7 @@ def pallas_table_lookup(symbols: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray
 
 
 def _lookup_kernel_grouped(sym_ref, tab_ref, out_ref):
-    import jax.lax as lax
-
-    sym = sym_ref[0]  # [TILE_ROWS, LANES]
-    tab = tab_ref[:]  # [1, T]
-    t = tab.shape[-1]
-    flat = sym.reshape(-1, 1)
-    ids = lax.broadcasted_iota(jnp.int32, (1, t), 1)
-    onehot = (flat == ids).astype(jnp.float32)
-    vals = jnp.dot(onehot, tab.reshape(t, 1), preferred_element_type=jnp.float32)
-    out_ref[:] = vals.reshape((1,) + sym.shape)
+    out_ref[:] = _select_lookup(sym_ref[0], tab_ref, tab_ref.shape[-1])[None]
 
 
 def pallas_table_lookup_grouped(
@@ -133,7 +129,7 @@ def pallas_table_lookup_grouped(
                 lambda gi, ti: (gi, ti, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, t), lambda gi, ti: (gi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t), lambda gi, ti: (gi, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, TILE_ROWS, LANES),
