@@ -88,7 +88,21 @@ def pallas_table_lookup(symbols: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray
 
 
 def _lookup_kernel_grouped(sym_ref, tab_ref, out_ref):
-    out_ref[:] = _select_lookup(sym_ref[0], tab_ref, tab_ref.shape[-1])[None]
+    """tab_ref holds ALL groups' tables [G, T] (SMEM, unblocked — a (1, T)
+    block would violate Mosaic's sublane-divisibility rule); the group row
+    is selected by grid position."""
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+
+    g = pl.program_id(0)
+    sym = sym_ref[0]
+    t = tab_ref.shape[-1]
+
+    def body(s, acc):
+        entry = tab_ref[g, s]
+        return acc + jnp.where(sym == s, entry, 0.0)
+
+    out_ref[:] = lax.fori_loop(0, t, body, jnp.zeros(sym.shape, jnp.float32))[None]
 
 
 def pallas_table_lookup_grouped(
@@ -129,7 +143,7 @@ def pallas_table_lookup_grouped(
                 lambda gi, ti: (gi, ti, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, t), lambda gi, ti: (gi, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, t), lambda gi, ti: (0, 0), memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, TILE_ROWS, LANES),
