@@ -36,12 +36,36 @@ class HuffmanTables:
 
     @classmethod
     def from_histograms(cls, result: DeviceEncodeResult) -> "HuffmanTables":
+        _materialize_histograms(result)
         return cls(
-            luma_dc=code_lengths_from_histogram(np.asarray(result.luma_dc_hist)),
-            luma_ac=code_lengths_from_histogram(np.asarray(result.luma_ac_hist)),
-            chroma_dc=code_lengths_from_histogram(np.asarray(result.chroma_dc_hist)),
-            chroma_ac=code_lengths_from_histogram(np.asarray(result.chroma_ac_hist)),
+            luma_dc=code_lengths_from_histogram(result.luma_dc_hist),
+            luma_ac=code_lengths_from_histogram(result.luma_ac_hist),
+            chroma_dc=code_lengths_from_histogram(result.chroma_dc_hist),
+            chroma_ac=code_lengths_from_histogram(result.chroma_ac_hist),
         )
+
+
+def _materialize_histograms(result: DeviceEncodeResult) -> None:
+    """Fetch all four histograms in ONE device_get (four separate
+    np.asarray calls each pay a full device round trip — ~100 ms apiece
+    over a tunneled link) and cache them as numpy on the result."""
+    if isinstance(result.luma_dc_hist, np.ndarray):
+        return
+    import jax
+
+    (
+        result.luma_dc_hist,
+        result.luma_ac_hist,
+        result.chroma_dc_hist,
+        result.chroma_ac_hist,
+    ) = jax.device_get(
+        (
+            result.luma_dc_hist,
+            result.luma_ac_hist,
+            result.chroma_dc_hist,
+            result.chroma_ac_hist,
+        )
+    )
 
 
 def pack_scan(

@@ -73,6 +73,21 @@ def blockize(chan: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def entangled_blockize_p420(chan: jnp.ndarray) -> jnp.ndarray:
+    """[H, W] -> [n_blocks, 8, 8] directly in P420 MCU (quad) order.
+
+    Equivalent to blockize()[entangle_permutation(...)] but as a pure
+    reshape/transpose, which XLA lowers to one copy instead of a row
+    gather (gathers serialize on TPU). Quad order: TL, TR, BL, BR
+    (reference: block_entangler.rs:69-91)."""
+    h, w = chan.shape
+    return (
+        chan.reshape(h // 16, 2, 8, w // 16, 2, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(-1, 8, 8)
+    )
+
+
 def entangle_permutation(
     blocks_per_row: int, blocks_per_col: int, preset: ChromaSubsamplingPreset
 ) -> np.ndarray | None:

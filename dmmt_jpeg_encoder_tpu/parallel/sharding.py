@@ -46,6 +46,7 @@ from ..ops.dct import dct2d
 from ..ops.geometry import (
     blockize,
     entangle_permutation,
+    entangled_blockize_p420,
     padded_size,
     subsample,
 )
@@ -114,9 +115,10 @@ def _compiled_sharded(
 
         rgb = rgb_u16.astype(jnp.float32) / maxval
         y, cb, cr = rgb_to_ycbcr(rgb)
-        luma_blocks = blockize(y)
         if entangle is not None:
-            luma_blocks = luma_blocks[jnp.asarray(entangle)]
+            luma_blocks = entangled_blockize_p420(y)
+        else:
+            luma_blocks = blockize(y)
         cb_blocks = blockize(subsample(cb, preset))
         cr_blocks = blockize(subsample(cr, preset))
 

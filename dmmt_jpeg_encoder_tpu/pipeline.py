@@ -29,6 +29,7 @@ from .ops.dct import dct2d
 from .ops.geometry import (
     blockize,
     entangle_permutation,
+    entangled_blockize_p420,
     pad_to_mcu_multiple,
     padded_size,
     subsample,
@@ -67,9 +68,11 @@ def encode_blocks_from_planes(
 
     Factored out so the sharded (shard_map) pipeline can reuse it per shard.
     """
-    luma_blocks = blockize(y)
     if entangle is not None:
-        luma_blocks = luma_blocks[jnp.asarray(entangle)]
+        # P420: straight to MCU-quad order via reshape/transpose (no gather)
+        luma_blocks = entangled_blockize_p420(y)
+    else:
+        luma_blocks = blockize(y)
     cb_blocks = blockize(subsample(cb, preset))
     cr_blocks = blockize(subsample(cr, preset))
 

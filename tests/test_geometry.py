@@ -99,3 +99,14 @@ def test_entangle_p420_larger():
 def test_entangle_odd_rejected():
     with pytest.raises(ValueError):
         entangle_permutation(3, 2, P420)
+
+
+def test_entangled_blockize_matches_permutation(rng):
+    from dmmt_jpeg_encoder_tpu.ops.geometry import entangled_blockize_p420
+
+    chan = jnp.asarray(rng.random((48, 64)).astype(np.float32))
+    perm = entangle_permutation(64 // 8, 48 // 8, P420)
+    expected = np.asarray(blockize(chan))[perm]
+    np.testing.assert_array_equal(
+        np.asarray(entangled_blockize_p420(chan)), expected
+    )
