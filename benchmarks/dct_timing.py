@@ -60,13 +60,30 @@ def main() -> int:
     blocks = jax.device_put(jnp.asarray(blockize(jnp.asarray(chan))))
     n_blocks = blocks.shape[0]
 
-    fn = jax.jit(lambda b: dct2d(b, variant))
-    fn(blocks).block_until_ready()  # compile
+    if variant is DCTVariant.FUSED:
+        from dmmt_jpeg_encoder_tpu.config import QuantizationTablePreset
+        from dmmt_jpeg_encoder_tpu.ops.fused import fused_dct_quantize_zigzag
+        from dmmt_jpeg_encoder_tpu.tables import quantization_table_pair
+
+        luma_q = jnp.asarray(
+            quantization_table_pair(QuantizationTablePreset.SPECIFICATION)[0]
+        )
+        fn = jax.jit(lambda b: fused_dct_quantize_zigzag(b, luma_q))
+    else:
+        fn = jax.jit(lambda b: dct2d(b, variant))
+
+    def run_once():
+        r = fn(blocks)
+        # sync via a tiny fetch (block_until_ready is unreliable over the
+        # tunneled backend)
+        jax.device_get(r[0, :1])
+
+    run_once()  # compile
 
     times_us = []
     for _ in range(args.rounds):
         t0 = time.perf_counter()
-        fn(blocks).block_until_ready()
+        run_once()
         times_us.append((time.perf_counter() - t0) * 1e6)
 
     mean = statistics.fmean(times_us)

@@ -11,7 +11,7 @@ JAX functions as static arguments.
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 class SubsamplingMethod(enum.Enum):

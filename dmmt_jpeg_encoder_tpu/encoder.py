@@ -191,11 +191,26 @@ def encode_batch(
         backend = "device" if jax.default_backend() != "cpu" else "host"
     same_shape = len({px.shape for px in images}) == 1
     if backend == "device" and same_shape and len(images) > 1 and fused_batch > 1:
+        # Cap the per-dispatch block count: very large batched programs have
+        # OOM'd the TPU compiler (~400K blocks is safe at 4K and below).
+        h, w = int(images[0].shape[0]), int(images[0].shape[1])
+        preset = config.chroma_subsampling
+        from .ops.geometry import padded_size
+
+        ph, pw = padded_size(h, w, preset)
+        blocks_per_image = (ph // 8) * (pw // 8) + 2 * (
+            (ph // preset.vertical_rate // 8) * (pw // preset.horizontal_rate // 8)
+        )
+        chunk = max(2, min(fused_batch, 400_000 // max(blocks_per_image, 1)))
+        if chunk < 2:
+            chunk = 2
         out: list[bytes] = []
-        for i in range(0, len(images), fused_batch):
-            out.extend(
-                _encode_batch_fused(images[i : i + fused_batch], maxval, config)
-            )
+        for i in range(0, len(images), chunk):
+            part = images[i : i + chunk]
+            if len(part) == 1:
+                out.append(encode_array(part[0], maxval, config))
+            else:
+                out.extend(_encode_batch_fused(part, maxval, config))
         return out
     luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
 

@@ -25,7 +25,7 @@ ppermute per channel — nothing else crosses chips.
 
 from __future__ import annotations
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 import jax
