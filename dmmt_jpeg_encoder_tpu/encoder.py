@@ -168,18 +168,22 @@ def encode_batch(
     images: list[np.ndarray],
     maxval: int = 255,
     config: EncoderConfig | None = None,
-    fused_batch: int = 8,
+    fused_batch: int = 0,
 ) -> list[bytes]:
     """Encode many images at batch throughput.
 
-    Same-shape images go through the FUSED path: one batched device dispatch
-    for the whole pipeline (vmap), one histogram fetch, one batched
-    scan-pack dispatch, one contiguous word fetch — two device round trips
-    per `fused_batch` images instead of two per image. Mixed shapes or host
-    scan backends fall back to a two-deep software pipeline that overlaps
-    device dispatch with host table-build/packing. (The reference encodes
-    one image per process; batch encode is this framework's throughput
-    scenario, BASELINE.md.)"""
+    Default: a two-deep software pipeline over the SINGLE-image executables
+    — JAX dispatch is async, so image i+1's device work overlaps image i's
+    host table-build/packing and fetches, with no extra compilation.
+
+    fused_batch > 1 opts into the FUSED path for same-shape images: one
+    batched (vmap) pipeline dispatch + one batched scan-pack dispatch per
+    chunk — two device round trips per chunk instead of two per image.
+    Worth it when round-trip latency dominates per-image compute (small
+    images / high-latency links); measured at 4K the batched programs run
+    slower per pixel than the single-image ones, so it is opt-in. (The
+    reference encodes one image per process; batch encode is this
+    framework's throughput scenario, BASELINE.md.)"""
     config = config or EncoderConfig()
     if config.num_shards > 1:
         return [encode_array(px, maxval, config) for px in images]
