@@ -339,6 +339,20 @@ def _use_pallas_pack() -> bool:
     )
 
 
+def _interleave_scan(luma, cb, cr, n_mcu: int, luma_per_mcu: int):
+    """Scan-order interleave (Y..Y Cb Cr per MCU) as concat+reshape — a pure
+    data movement XLA lowers to one copy, instead of an N-row gather
+    (gathers serialize on TPU)."""
+    return jnp.concatenate(
+        [
+            luma.reshape(n_mcu, luma_per_mcu, 64),
+            cb[:, None, :],
+            cr[:, None, :],
+        ],
+        axis=1,
+    ).reshape(-1, 64)
+
+
 @lru_cache(maxsize=32)
 def _compiled_pack(n_luma: int, n_chroma: int, luma_per_mcu: int, n_words: int):
     perm, is_luma = scan_order_permutation(n_luma, n_chroma, luma_per_mcu)
@@ -346,12 +360,13 @@ def _compiled_pack(n_luma: int, n_chroma: int, luma_per_mcu: int, n_words: int):
 
     def fn(*args):
         if n_chroma:
-            blocks = jnp.concatenate([args[0], args[1], args[2]], axis=0)
             dc_comb, ac_comb = args[3], args[4]
+            scan_blocks = _interleave_scan(
+                args[0], args[1], args[2], n_chroma, luma_per_mcu
+            )
         else:
-            blocks = args[0]
+            scan_blocks = args[0]
             dc_comb, ac_comb = args[1], args[2]
-        scan_blocks = blocks[jnp.asarray(perm)]
         values, lens, offs, block_bits = block_emissions(
             scan_blocks, jnp.asarray(table_idx), dc_comb, ac_comb
         )
@@ -426,8 +441,14 @@ def _compiled_pack_batch(
     chroma_idx = (~is_luma).astype(np.int32)
 
     def fn(luma, cb, cr, dc_comb, ac_comb, word_off):
-        blocks = jnp.concatenate([luma, cb, cr], axis=1)  # [B, NL+2NC, 64]
-        scan = blocks[:, jnp.asarray(perm)].reshape(b * ns, 64)
+        scan = jnp.concatenate(
+            [
+                luma.reshape(b, n_chroma, luma_per_mcu, 64),
+                cb[:, :, None, :],
+                cr[:, :, None, :],
+            ],
+            axis=2,
+        ).reshape(b * ns, 64)
         tbl = (
             jnp.arange(b, dtype=jnp.int32)[:, None] * 2 + jnp.asarray(chroma_idx)[None, :]
         ).reshape(-1)
