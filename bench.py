@@ -55,9 +55,12 @@ def main() -> int:
         + 60 * np.cos(yy / 71.0)
         + rng.normal(0, 6, (h, w))
     )
+    # uint8 throughout: the ingest dtype for 8-bit sources, half the
+    # host->device bytes, and no 50 MB downcast copy inside the timed loop
+    # (this host moves memory at ~350 MB/s).
     pixels = np.clip(
         np.stack([base, base * 0.9 + 10, base * 1.1 - 8], axis=-1), 0, 255
-    ).astype(np.uint16)
+    ).astype(np.uint8)
 
     luma_q, chroma_q = quantization_table_pair(QuantizationTablePreset.SPECIFICATION)
 
@@ -70,14 +73,13 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    # Component timing (stderr detail). uint8 pixels so the jitted pipeline
-    # from the warmup encode is reused (encode_array narrows automatically).
-    pixels8 = pixels.astype(np.uint8)
-    t0 = time.perf_counter()
-    result = run_device_pipeline(pixels8, 255, config, luma_q, chroma_q)
+    # Component timing (stderr detail). Sync via a small fetch —
+    # block_until_ready is unreliable over the tunneled backend.
     import jax as _jax
 
-    _jax.block_until_ready(result.luma)
+    t0 = time.perf_counter()
+    result = run_device_pipeline(pixels, 255, config, luma_q, chroma_q)
+    _jax.device_get(result.luma_dc_hist)
     t_device = time.perf_counter() - t0
     t0 = time.perf_counter()
     tables = HuffmanTables.from_histograms(result)

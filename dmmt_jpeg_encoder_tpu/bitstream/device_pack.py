@@ -180,6 +180,19 @@ def block_emissions(
     return values, lens, offs, block_bits
 
 
+def byteswap_words(words: jnp.ndarray) -> jnp.ndarray:
+    """Logical big-endian words -> memory-order bytes (done on device so the
+    host writes the stream with a zero-copy uint8 view; this host moves
+    memory at ~350 MB/s, the device at ~800 GB/s)."""
+    w = words.astype(jnp.uint32)
+    return (
+        ((w & 0xFF) << 24)
+        | ((w & 0xFF00) << 8)
+        | ((w >> 8) & 0xFF00)
+        | (w >> 24)
+    ).astype(jnp.uint32)
+
+
 def pack_to_words(
     values: jnp.ndarray,
     lens: jnp.ndarray,
@@ -233,9 +246,12 @@ def scan_order_permutation(
 
 
 def finalize_scan_bytes(words: np.ndarray, total_bits: int) -> bytes:
-    """Host tail: trim, 1-pad the final byte, byte-stuff 0xFF -> 0xFF 0x00."""
+    """Host tail: trim, 1-pad the final byte, byte-stuff 0xFF -> 0xFF 0x00.
+
+    `words` must already be in memory byte order (byteswap_words ran on
+    device), so this is a zero-copy uint8 view plus the stuffing pass."""
     n_bytes = (int(total_bits) + 7) // 8
-    raw = np.ascontiguousarray(words).astype(">u4").view(np.uint8)[:n_bytes].copy()
+    raw = np.ascontiguousarray(words).view(np.uint8)[:n_bytes].copy()
     pad = n_bytes * 8 - int(total_bits)
     if pad:
         raw[-1] |= (1 << pad) - 1  # JPEG 1-padding (encoder.rs:267)
@@ -373,8 +389,14 @@ def _compiled_pack(n_luma: int, n_chroma: int, luma_per_mcu: int, n_words: int):
         if _use_pallas_pack():
             from .pallas_pack import pallas_pack_words
 
-            return pallas_pack_words(values, lens, offs, block_bits, n_words)
-        return pack_to_words(values, lens, offs, block_bits, n_words)
+            words, total_bits = pallas_pack_words(
+                values, lens, offs, block_bits, n_words
+            )
+        else:
+            words, total_bits = pack_to_words(
+                values, lens, offs, block_bits, n_words
+            )
+        return byteswap_words(words), total_bits
 
     return jax.jit(fn)
 
@@ -467,7 +489,7 @@ def _compiled_pack_batch(
                 values, lens, offs, block_bits, words_cap,
                 boff=goff_blocks.reshape(-1),
             )
-            return words
+            return byteswap_words(words)
 
         goff = (goff_blocks.reshape(-1)[:, None] + offs).reshape(-1)
         val = values.reshape(-1)
@@ -481,6 +503,6 @@ def _compiled_pack_batch(
         words = jnp.zeros((words_cap,), _U32)
         words = words.at[w0].add(c0, mode="drop")
         words = words.at[w0 + 1].add(c1, mode="drop")
-        return words
+        return byteswap_words(words)
 
     return jax.jit(fn)

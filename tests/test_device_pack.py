@@ -55,16 +55,26 @@ def test_scan_order_permutation_p444():
 
 
 def test_finalize_pads_with_ones():
-    # 12 bits: one full byte + 4 bits -> final byte low 4 bits = 1111
-    words = np.array([0xABC00000], dtype=np.uint32)
+    # finalize consumes byte-order words (the device byteswaps); 12 bits:
+    # one full byte + 4 bits -> final byte low 4 bits = 1111
+    words = np.array([0xABC00000], dtype=np.uint32).byteswap()
     out = finalize_scan_bytes(words, 12)
     assert out == bytes([0xAB, 0xCF])
 
 
 def test_finalize_stuffs_ff():
-    words = np.array([0xFF12FF00], dtype=np.uint32)
+    words = np.array([0xFF12FF00], dtype=np.uint32).byteswap()
     out = finalize_scan_bytes(words, 32)
     assert out == bytes([0xFF, 0x00, 0x12, 0xFF, 0x00, 0x00])
+
+
+def test_byteswap_words_roundtrip():
+    from dmmt_jpeg_encoder_tpu.bitstream.device_pack import byteswap_words
+    import jax.numpy as jnp
+
+    w = np.array([0x01020304, 0xFFB0C0D0, 0], dtype=np.uint32)
+    s = np.asarray(byteswap_words(jnp.asarray(w)))
+    np.testing.assert_array_equal(s, w.byteswap())
 
 
 @pytest.mark.parametrize("luma_per_mcu", [1, 2, 4])
