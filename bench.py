@@ -133,9 +133,11 @@ def main() -> int:
         np.ascontiguousarray(np.roll(pixels, i * 17, axis=0)) for i in range(args.batch)
     ]
     encode_batch(batch, 255, config)  # warm: compiles the B-sized programs
-    t0 = time.perf_counter()
-    outs = encode_batch(batch, 255, config)
-    t_batch = time.perf_counter() - t0
+    t_batch = float("inf")
+    for _ in range(2):  # best-of-2: the tunneled link's throughput swings 2x
+        t0 = time.perf_counter()
+        outs = encode_batch(batch, 255, config)
+        t_batch = min(t_batch, time.perf_counter() - t0)
     value = len(batch) * mpix / t_batch
     print(
         f"batch[{len(batch)}] e2e: {t_batch*1e3:.1f} ms total "
