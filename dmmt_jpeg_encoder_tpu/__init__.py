@@ -23,10 +23,11 @@ from .encoder import (
     HuffmanTables,
     convert_ppm_to_jpeg,
     encode_array,
+    encode_batch,
     encode_ppm_bytes,
     encode_ppm_image,
 )
-from .io.ppm import PPMImage, read_ppm, read_ppm_bytes
+from .io.ppm import PPMImage, read_ppm, read_ppm_bytes, write_ppm
 
 __version__ = "0.1.0"
 
@@ -39,10 +40,12 @@ __all__ = [
     "HuffmanTables",
     "convert_ppm_to_jpeg",
     "encode_array",
+    "encode_batch",
     "encode_ppm_bytes",
     "encode_ppm_image",
     "PPMImage",
     "read_ppm",
     "read_ppm_bytes",
+    "write_ppm",
     "__version__",
 ]
