@@ -140,6 +140,31 @@ def encode_array(
     config = config or EncoderConfig()
     luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
     if config.num_shards > 1:
+        backend = config.scan_backend
+        if backend == "auto":
+            import jax
+
+            backend = "device" if jax.default_backend() != "cpu" else "host"
+        if backend == "device":
+            # Per-shard device packing + host bit-merge of shard segments.
+            from .parallel.sharding import encode_sharded_scan
+
+            scan, tables = encode_sharded_scan(
+                _narrow_pixels(pixels, maxval), maxval, config
+            )
+            return assemble_jpeg(
+                width=int(pixels.shape[1]),
+                height=int(pixels.shape[0]),
+                bits_per_channel=config.bits_per_channel,
+                preset=config.chroma_subsampling,
+                luma_quant=luma_q,
+                chroma_quant=chroma_q,
+                luma_dc=tables.luma_dc,
+                luma_ac=tables.luma_ac,
+                chroma_dc=tables.chroma_dc,
+                chroma_ac=tables.chroma_ac,
+                scan_bytes=scan,
+            )
         from .parallel.sharding import run_sharded_pipeline
 
         result = run_sharded_pipeline(pixels, maxval, config, luma_q, chroma_q)

@@ -144,7 +144,13 @@ def _compiled_sharded(
         hists = jax.lax.psum(
             (l_dc, l_ac, cb_dc + cr_dc, cb_ac + cr_ac), AXIS
         )
-        return (luma_zz, cb_zz, cr_zz) + hists
+        # Per-shard histograms too ([1, ...] per shard, stacked by the out
+        # spec): the host derives each shard's exact scan-bit count from
+        # them for the segment merge.
+        per_shard = (
+            l_dc[None], l_ac[None], (cb_dc + cr_dc)[None], (cb_ac + cr_ac)[None]
+        )
+        return (luma_zz, cb_zz, cr_zz) + hists + per_shard
 
     sharded = shard_map(
         per_shard,
@@ -158,9 +164,42 @@ def _compiled_sharded(
             P(),
             P(),
             P(),
+            P(AXIS, None),
+            P(AXIS, None),
+            P(AXIS, None),
+            P(AXIS, None),
         ),
     )
     return jax.jit(sharded), mesh, (ph, pw, rows_per_shard, valid_mcu_rows)
+
+
+def _run_sharded_raw(
+    pixels: np.ndarray,
+    maxval: int,
+    config: EncoderConfig,
+    luma_q: np.ndarray,
+    chroma_q: np.ndarray,
+):
+    """Dispatch the sharded phase-1 program; returns the raw device outputs
+    plus the shard geometry (blocks stay device-resident)."""
+    preset = config.chroma_subsampling
+    n = config.num_shards
+    height, width = int(pixels.shape[0]), int(pixels.shape[1])
+
+    fn, mesh, geom = _compiled_sharded(
+        height, width, preset, config.dct_variant, n
+    )
+    ph, pw, rows_per_shard, valid_mcu_rows = geom
+
+    padded = np.zeros((ph, pw, 3), dtype=pixels.dtype)
+    padded[:height, :width] = pixels
+    outputs = fn(
+        jnp.asarray(padded),
+        jnp.float32(maxval),
+        jnp.asarray(luma_q),
+        jnp.asarray(chroma_q),
+    )
+    return outputs, geom
 
 
 def run_sharded_pipeline(
@@ -176,21 +215,10 @@ def run_sharded_pipeline(
         luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
     preset = config.chroma_subsampling
     n = config.num_shards
-    height, width = int(pixels.shape[0]), int(pixels.shape[1])
-
-    fn, mesh, (ph, pw, rows_per_shard, valid_mcu_rows) = _compiled_sharded(
-        height, width, preset, config.dct_variant, n
+    outputs, (ph, pw, rows_per_shard, valid_mcu_rows) = _run_sharded_raw(
+        pixels, maxval, config, luma_q, chroma_q
     )
-
-    padded = np.zeros((ph, pw, 3), dtype=np.uint16)
-    padded[:height, :width] = pixels
-    outputs = fn(
-        jnp.asarray(padded),
-        jnp.float32(maxval),
-        jnp.asarray(luma_q),
-        jnp.asarray(chroma_q),
-    )
-    luma, cb, cr, ldc, lac, cdc, cac = jax.device_get(outputs)
+    luma, cb, cr, ldc, lac, cdc, cac = jax.device_get(outputs[:7])
 
     luma = _drop_alignment_blocks(
         luma, n, rows_per_shard, valid_mcu_rows,
@@ -228,3 +256,190 @@ def _drop_alignment_blocks(
             blocks[s * per_shard : s * per_shard + valid_rows * blocks_per_mcu_row]
         )
     return np.concatenate(keep, axis=0)
+
+
+# --- Per-shard on-device scan packing ----------------------------------------
+#
+# Instead of gathering 25 MB of coefficients to host 0, each shard packs its
+# own (already globally-DPCM'd) blocks into a finished bit segment with the
+# GLOBAL Huffman tables; the host receives ~per-shard-scan-size bytes and
+# performs only a bit-aligned concatenation (SURVEY.md §7.7: "concatenate
+# per-shard entropy segments"). Segment boundaries are whole MCUs, so the
+# concatenation IS the single-chip scan, bit for bit.
+
+
+def merge_bit_streams(chunks: list) -> tuple[np.ndarray, int]:
+    """Bit-aligned concatenation of (uint8 stream, bit_length) chunks.
+
+    Streams are MSB-first; bits beyond bit_length must be zero (the device
+    packers guarantee it). Vectorized per chunk: each byte contributes its
+    top bits to out[i] and its low bits to out[i+1]."""
+    total_bits = int(sum(b for _, b in chunks))
+    out = np.zeros((total_bits + 7) // 8 + 1, np.uint8)
+    pos = 0
+    for data, bits in chunks:
+        bits = int(bits)
+        if bits == 0:
+            continue
+        nb = (bits + 7) // 8
+        data = np.asarray(data, dtype=np.uint8)[:nb]
+        k = pos & 7
+        byte0 = pos >> 3
+        if k == 0:
+            out[byte0 : byte0 + nb] |= data
+        else:
+            out[byte0 : byte0 + nb] |= data >> k
+            out[byte0 + 1 : byte0 + 1 + nb] |= (
+                (data.astype(np.uint16) << (8 - k)) & 0xFF
+            ).astype(np.uint8)
+        pos += bits
+    return out[: (total_bits + 7) // 8], total_bits
+
+
+@lru_cache(maxsize=16)
+def _compiled_shard_pack(
+    num_shards: int,
+    nl_s: int,
+    nc_s: int,
+    luma_per_mcu: int,
+    words_cap: int,
+    rows_per_shard: int,
+    valid_mcu_rows: int,
+    mcus_per_row: int,
+):
+    from ..bitstream.device_pack import (
+        _interleave_scan,
+        _use_pallas_pack,
+        block_emissions,
+        byteswap_words,
+        pack_to_words,
+        scan_order_permutation,
+    )
+
+    mesh = build_mesh(num_shards)
+    _, is_luma = scan_order_permutation(nl_s, nc_s, luma_per_mcu)
+    table_idx = (~is_luma).astype(np.int32)
+    ns = nl_s + 2 * nc_s
+    blocks_per_mcu = luma_per_mcu + 2
+
+    def per_shard(luma, cb, cr, dc_comb, ac_comb):
+        s = jax.lax.axis_index(AXIS)
+        valid_rows = jnp.clip(
+            valid_mcu_rows - s * rows_per_shard, 0, rows_per_shard
+        )
+        valid_blocks = valid_rows * mcus_per_row * blocks_per_mcu
+
+        scan = _interleave_scan(luma, cb, cr, nc_s, luma_per_mcu)
+        values, lens, offs, bits = block_emissions(
+            scan, jnp.asarray(table_idx), dc_comb, ac_comb
+        )
+        # Alignment-padding MCUs (a suffix in scan order) emit nothing.
+        bmask = jnp.arange(ns, dtype=jnp.int32) < valid_blocks
+        lens = lens * bmask[:, None]
+        bits = bits * bmask
+        if _use_pallas_pack():
+            from ..bitstream.pallas_pack import pallas_pack_words
+
+            words, _ = pallas_pack_words(values, lens, offs, bits, words_cap)
+        else:
+            words, _ = pack_to_words(values, lens, offs, bits, words_cap)
+        return byteswap_words(words)[None]
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(None), P(None)),
+        out_specs=P(AXIS, None),
+    )
+    return jax.jit(sharded)
+
+
+def encode_sharded_scan(
+    pixels: np.ndarray,
+    maxval: int,
+    config: EncoderConfig,
+) -> tuple[bytes, "object"]:
+    """Full sharded encode of the entropy scan: phase-1 shard_map, global
+    tables from psum'd histograms, per-shard device packing, host bit-merge.
+
+    Returns (stuffed scan bytes, HuffmanTables)."""
+    from ..bitstream.device_pack import (
+        combine_tables,
+        exact_scan_bits,
+        _use_pallas_pack,
+    )
+    from ..encoder import HuffmanTables
+    from ..huffman.canonical import flat_code_arrays
+    from ..pipeline import DeviceEncodeResult
+
+    preset = config.chroma_subsampling
+    n = config.num_shards
+    luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
+    outputs, (ph, pw, rows_per_shard, valid_mcu_rows) = _run_sharded_raw(
+        pixels, maxval, config, luma_q, chroma_q
+    )
+
+    # Global tables from the psum'd histograms + per-shard exact bit counts.
+    g_ldc, g_lac, g_cdc, g_cac, s_ldc, s_lac, s_cdc, s_cac = jax.device_get(
+        outputs[3:11]
+    )
+    result = DeviceEncodeResult(
+        luma=None, cb=None, cr=None,
+        luma_dc_hist=g_ldc, luma_ac_hist=g_lac,
+        chroma_dc_hist=g_cdc, chroma_ac_hist=g_cac,
+    )
+    tables = HuffmanTables.from_histograms(result)
+    ldc = flat_code_arrays(tables.luma_dc)
+    lac = flat_code_arrays(tables.luma_ac)
+    cdc = flat_code_arrays(tables.chroma_dc)
+    cac = flat_code_arrays(tables.chroma_ac)
+    bits = [
+        exact_scan_bits(
+            (s_ldc[i], s_lac[i], s_cdc[i], s_cac[i]), ldc, lac, cdc, cac
+        )
+        for i in range(n)
+    ]
+
+    needed = max((b + 31) // 32 + 2 for b in bits)
+    if _use_pallas_pack():
+        from ..bitstream.pallas_pack import pack_words_capacity
+
+        words_cap = pack_words_capacity(needed)
+    else:
+        words_cap = 1 << max(12, int(needed).bit_length())
+
+    nl_s = int(outputs[0].shape[0]) // n
+    nc_s = int(outputs[1].shape[0]) // n
+    mcus_per_row = pw // preset.mcu_width
+    fn = _compiled_shard_pack(
+        n, nl_s, nc_s, preset.luma_blocks_per_mcu, words_cap,
+        rows_per_shard, valid_mcu_rows, mcus_per_row,
+    )
+    dc_comb = np.concatenate(
+        [
+            combine_tables(np.asarray(ldc[0])[:16], np.asarray(ldc[1])[:16]),
+            combine_tables(np.asarray(cdc[0])[:16], np.asarray(cdc[1])[:16]),
+        ]
+    )
+    ac_comb = np.concatenate(
+        [
+            combine_tables(np.asarray(lac[0]), np.asarray(lac[1])),
+            combine_tables(np.asarray(cac[0]), np.asarray(cac[1])),
+        ]
+    )
+    words = fn(
+        outputs[0], outputs[1], outputs[2],
+        jnp.asarray(dc_comb), jnp.asarray(ac_comb),
+    )
+    max_words = max((b + 31) // 32 for b in bits) if bits else 0
+    host_words = jax.device_get(words[:, :max_words])
+
+    chunks = [(host_words[i].view(np.uint8), bits[i]) for i in range(n)]
+    merged, total_bits = merge_bit_streams(chunks)
+    pad = len(merged) * 8 - total_bits
+    if pad:
+        merged[-1] |= (1 << pad) - 1  # JPEG 1-padding
+    ff = np.flatnonzero(merged == 0xFF)
+    if len(ff):
+        merged = np.insert(merged, ff + 1, 0)
+    return merged.tobytes(), tables
