@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     p.add_argument(
+        "--quality",
+        type=int,
+        default=None,
+        help="IJG quality 1..100 scaling the quantization preset "
+        "(extension; default: use the preset's raw tables)",
+    )
+    p.add_argument(
         "--dct",
         choices=[e.value for e in DCTVariant],
         default=DCTVariant.ARAI.value,
@@ -101,13 +108,17 @@ def parse_args(argv: list[str] | None = None) -> tuple[argparse.Namespace, Encod
         qt = QuantizationTablePreset.parse(args.quantization_table)
     except ValueError as e:
         build_parser().error(str(e))
-    config = EncoderConfig(
-        chroma_subsampling=ChromaSubsamplingPreset(args.chroma_subsampling_preset),
-        quantization_preset=qt,
-        bits_per_channel=args.bits_per_channel,
-        dct_variant=DCTVariant(args.dct),
-        num_shards=args.shards,
-    )
+    try:
+        config = EncoderConfig(
+            chroma_subsampling=ChromaSubsamplingPreset(args.chroma_subsampling_preset),
+            quantization_preset=qt,
+            bits_per_channel=args.bits_per_channel,
+            dct_variant=DCTVariant(args.dct),
+            num_shards=args.shards,
+            quality=args.quality,
+        )
+    except ValueError as e:
+        build_parser().error(str(e))
     return args, config
 
 

@@ -145,7 +145,13 @@ class EncoderConfig:
     # re-encodes coefficients with the native-C/Python packer, "auto" picks
     # device on accelerators and host-C on the CPU backend.
     scan_backend: str = "auto"
+    # IJG quality (1..100) scaling applied to the quantization preset, or
+    # None for the preset's raw tables (the reference has fixed presets
+    # only; this extension enables standard quality sweeps).
+    quality: int | None = None
 
     def __post_init__(self) -> None:
         if self.bits_per_channel not in (8, 16, 32):
             raise ValueError("bits_per_channel must be one of 8, 16, 32")
+        if self.quality is not None and not 1 <= self.quality <= 100:
+            raise ValueError("quality must be in 1..100")

@@ -138,7 +138,7 @@ def encode_array(
 ) -> bytes:
     """uint8/uint16 RGB [H, W, 3] samples -> complete JPEG bytes."""
     config = config or EncoderConfig()
-    luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
+    luma_q, chroma_q = quantization_table_pair(config.quantization_preset, config.quality)
     if config.num_shards > 1:
         backend = config.scan_backend
         if backend == "auto":
@@ -241,7 +241,7 @@ def encode_batch(
             else:
                 out.extend(_encode_batch_fused(part, maxval, config))
         return out
-    luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
+    luma_q, chroma_q = quantization_table_pair(config.quantization_preset, config.quality)
 
     results: list[DeviceEncodeResult | None] = [None] * len(images)
     out: list[bytes | None] = [None] * len(images)
@@ -287,7 +287,7 @@ def _encode_batch_fused(
     )
     from .pipeline import run_device_pipeline_batch
 
-    luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
+    luma_q, chroma_q = quantization_table_pair(config.quantization_preset, config.quality)
     stacked = np.stack([_narrow_pixels(px, maxval) for px in images])
     b = len(images)
 

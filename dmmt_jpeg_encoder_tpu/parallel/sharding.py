@@ -212,7 +212,7 @@ def run_sharded_pipeline(
     """Execute the multi-chip pipeline; returns host arrays with alignment
     padding removed, byte-for-byte equivalent to the single-chip result."""
     if luma_q is None or chroma_q is None:
-        luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
+        luma_q, chroma_q = quantization_table_pair(config.quantization_preset, config.quality)
     preset = config.chroma_subsampling
     n = config.num_shards
     outputs, (ph, pw, rows_per_shard, valid_mcu_rows) = _run_sharded_raw(
@@ -374,7 +374,7 @@ def encode_sharded_scan(
 
     preset = config.chroma_subsampling
     n = config.num_shards
-    luma_q, chroma_q = quantization_table_pair(config.quantization_preset)
+    luma_q, chroma_q = quantization_table_pair(config.quantization_preset, config.quality)
     outputs, (ph, pw, rows_per_shard, valid_mcu_rows) = _run_sharded_raw(
         pixels, maxval, config, luma_q, chroma_q
     )

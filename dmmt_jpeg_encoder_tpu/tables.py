@@ -200,8 +200,23 @@ _PRESET_TABLES: dict[QuantizationTablePreset, tuple[np.ndarray, np.ndarray]] = {
 
 def quantization_table_pair(
     preset: QuantizationTablePreset,
+    quality: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Return (luma_table, chroma_table) in raster order, uint8[64]
-    (reference: quantization_tables.rs:286-326 `to_pair`)."""
+    (reference: quantization_tables.rs:286-326 `to_pair`).
+
+    `quality` (1..100) applies the standard IJG scaling to the preset pair
+    — an extension over the reference (which has fixed presets only) that
+    enables quality sweeps: q<50 scales by 5000/q %, q>=50 by 200-2q %,
+    clamped to 1..255; q=50 reproduces the base tables exactly."""
     luma, chroma = _PRESET_TABLES[preset]
-    return luma.copy(), chroma.copy()
+    if quality is None:
+        return luma.copy(), chroma.copy()
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in 1..100")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for t in (luma, chroma):
+        scaled = (t.astype(np.int64) * scale + 50) // 100
+        out.append(np.clip(scaled, 1, 255).astype(np.uint8))
+    return out[0], out[1]
