@@ -125,29 +125,6 @@ def main() -> int:
         flush=True,
     )
 
-    # Quality sweep (BASELINE.md config: q={50,75,90,95}) — stderr detail.
-    try:
-        from io import BytesIO
-
-        from PIL import Image
-
-        for q in (50, 75, 90, 95):
-            qcfg = EncoderConfig(
-                chroma_subsampling=config.chroma_subsampling, quality=q
-            )
-            jq = encode_array(pixels, 255, qcfg)
-            dec = np.asarray(Image.open(BytesIO(jq)).convert("RGB")).astype(
-                np.float64
-            )
-            mse = ((dec - pixels.astype(np.float64)) ** 2).mean()
-            psnr = 10 * np.log10(255**2 / mse)
-            print(
-                f"quality {q}: {len(jq)/1024:.0f} KiB, PSNR {psnr:.2f} dB",
-                file=sys.stderr,
-            )
-    except Exception as e:  # never let the sweep cost the headline numbers
-        print(f"quality sweep skipped: {e}", file=sys.stderr)
-
     # Batch throughput: the pipelined encode_batch overlaps device dispatch
     # with host table-build/packing (BASELINE.md batch-encode scenario).
     from dmmt_jpeg_encoder_tpu.encoder import encode_batch
@@ -178,6 +155,29 @@ def main() -> int:
             }
         )
     )
+    # Quality sweep (BASELINE.md config: q={50,75,90,95}) — stderr detail.
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+
+        for q in (50, 75, 90, 95):
+            qcfg = EncoderConfig(
+                chroma_subsampling=config.chroma_subsampling, quality=q
+            )
+            jq = encode_array(pixels, 255, qcfg)
+            dec = np.asarray(Image.open(BytesIO(jq)).convert("RGB")).astype(
+                np.float64
+            )
+            mse = ((dec - pixels.astype(np.float64)) ** 2).mean()
+            psnr = 10 * np.log10(255**2 / mse)
+            print(
+                f"quality {q}: {len(jq)/1024:.0f} KiB, PSNR {psnr:.2f} dB",
+                file=sys.stderr,
+            )
+    except Exception as e:  # never let the sweep cost the headline numbers
+        print(f"quality sweep skipped: {e}", file=sys.stderr)
+
     return 0
 
 
