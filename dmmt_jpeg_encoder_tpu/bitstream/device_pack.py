@@ -341,6 +341,18 @@ def device_pack_scan(
     if n_chroma:
         args += [cb, cr]
     words, total_bits = fn(*args, jnp.asarray(dc_comb), jnp.asarray(ac_comb))
+    if known_bits is not None and _check_bits_enabled():
+        # Debug cross-check (DMMT_CHECK_BITS=1, on in tests + dryrun): the
+        # host-predicted stream length (exact_scan_bits from histograms x
+        # code lengths) must equal what the kernels actually packed —
+        # otherwise trusting known_bits would silently truncate/pad the
+        # scan. Zero cost in production mode (no extra fetch).
+        device_bits = int(jax.device_get(total_bits))
+        if device_bits != int(known_bits):
+            raise AssertionError(
+                f"device packed {device_bits} scan bits but host predicted "
+                f"{known_bits}; histogram/emission mismatch"
+            )
     nbits = int(known_bits) if known_bits is not None else int(jax.device_get(total_bits))
     needed = (nbits + 31) // 32
     host_words = jax.device_get(words[:needed])
@@ -353,6 +365,12 @@ def _use_pallas_pack() -> bool:
     return jax.default_backend() == "tpu" or bool(
         os.environ.get("DMMT_PALLAS_INTERPRET")
     )
+
+
+def _check_bits_enabled() -> bool:
+    import os
+
+    return bool(os.environ.get("DMMT_CHECK_BITS"))
 
 
 def _interleave_scan(luma, cb, cr, n_mcu: int, luma_per_mcu: int):

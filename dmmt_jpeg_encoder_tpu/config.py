@@ -155,3 +155,8 @@ class EncoderConfig:
             raise ValueError("bits_per_channel must be one of 8, 16, 32")
         if self.quality is not None and not 1 <= self.quality <= 100:
             raise ValueError("quality must be in 1..100")
+        if self.scan_backend not in ("auto", "device", "host"):
+            raise ValueError(
+                f"scan_backend must be 'auto', 'device', or 'host' "
+                f"(got {self.scan_backend!r})"
+            )

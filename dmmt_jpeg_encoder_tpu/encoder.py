@@ -230,17 +230,19 @@ def encode_batch(
         blocks_per_image = (ph // 8) * (pw // 8) + 2 * (
             (ph // preset.vertical_rate // 8) * (pw // preset.horizontal_rate // 8)
         )
-        chunk = max(2, min(fused_batch, 400_000 // max(blocks_per_image, 1)))
-        if chunk < 2:
-            chunk = 2
-        out: list[bytes] = []
-        for i in range(0, len(images), chunk):
-            part = images[i : i + chunk]
-            if len(part) == 1:
-                out.append(encode_array(part[0], maxval, config))
-            else:
-                out.extend(_encode_batch_fused(part, maxval, config))
-        return out
+        chunk = min(fused_batch, 400_000 // max(blocks_per_image, 1))
+        if chunk >= 2:
+            out: list[bytes] = []
+            for i in range(0, len(images), chunk):
+                part = images[i : i + chunk]
+                if len(part) == 1:
+                    out.append(encode_array(part[0], maxval, config))
+                else:
+                    out.extend(_encode_batch_fused(part, maxval, config))
+            return out
+        # Images too large to fuse even two per dispatch (e.g. 8K frames):
+        # fall through to the pipelined per-image path, which respects the
+        # compile budget by construction.
     luma_q, chroma_q = quantization_table_pair(config.quantization_preset, config.quality)
 
     results: list[DeviceEncodeResult | None] = [None] * len(images)

@@ -4,8 +4,11 @@ symbol_histograms' scatter-adds ([N*63] indices into 256 bins) lower to a
 slow serialized scatter on TPU. This kernel instead reduces each tile once
 per bin with a compare+select+sum on the VPU (no scatter, and no cross-lane
 reshape, which Mosaic rejects), accumulating across the sequential grid
-into the output block. f32 is exact for counts < 2^24 — far above any
-count here.
+into the output block. Per-tile counts are f32 (exact: a tile holds 32K
+symbols << 2^24) but the cross-tile accumulator is int32, so totals stay
+exact for arbitrarily large images (a single 8K frame can push one AC bin
+past 2^24, where f32 would silently round — and exact_scan_bits derives
+the trusted stream length from these counts).
 """
 
 from __future__ import annotations
@@ -44,7 +47,7 @@ def _hist_kernel(sym_ref, weight_ref, out_ref):
 
     out_ref[:] = out_ref[:] + _accumulate_bins(
         sym_ref[:], weight_ref[:], out_ref.shape[-1]
-    )
+    ).astype(jnp.int32)
 
 
 def pallas_histogram(
@@ -61,10 +64,9 @@ def pallas_histogram(
     flat_w = weights.reshape(-1).astype(jnp.float32)
     interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
     if jax.default_backend() != "tpu" and not interpret:
-        hist = jnp.zeros((n_bins,), jnp.float32).at[flat_s].add(
-            flat_w, mode="drop"
+        return jnp.zeros((n_bins,), jnp.int32).at[flat_s].add(
+            flat_w.astype(jnp.int32), mode="drop"
         )
-        return hist.astype(jnp.int32)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -91,10 +93,10 @@ def pallas_histogram(
             ),
         ],
         out_specs=pl.BlockSpec((1, n_bins), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, n_bins), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, n_bins), jnp.int32),
         interpret=interpret,
     )(sym2, w2)
-    return out[0].astype(jnp.int32)
+    return out[0]
 
 
 def _hist_kernel_grouped(sym_ref, weight_ref, out_ref):
@@ -106,7 +108,7 @@ def _hist_kernel_grouped(sym_ref, weight_ref, out_ref):
 
     out_ref[:] = out_ref[:] + _accumulate_bins(
         sym_ref[0], weight_ref[0], out_ref.shape[-1]
-    )[None]
+    ).astype(jnp.int32)[None]
 
 
 def pallas_histogram_grouped(
@@ -124,10 +126,10 @@ def pallas_histogram_grouped(
         flat_s = symbols.astype(jnp.int32) + (
             jnp.arange(g, dtype=jnp.int32)[:, None] * n_bins
         )
-        hist = jnp.zeros((g * n_bins,), jnp.float32).at[flat_s.reshape(-1)].add(
-            weights.reshape(-1).astype(jnp.float32), mode="drop"
+        hist = jnp.zeros((g * n_bins,), jnp.int32).at[flat_s.reshape(-1)].add(
+            weights.reshape(-1).astype(jnp.int32), mode="drop"
         )
-        return hist.reshape(g, n_bins).astype(jnp.int32)
+        return hist.reshape(g, n_bins)
 
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -161,7 +163,7 @@ def pallas_histogram_grouped(
         out_specs=pl.BlockSpec(
             (1, 1, n_bins), lambda gi, ti: (gi, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((g, 1, n_bins), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g, 1, n_bins), jnp.int32),
         interpret=interpret,
     )(s3, w3)
-    return out[:, 0].astype(jnp.int32)
+    return out[:, 0]

@@ -11,6 +11,9 @@ import os
 # interpreter startup and forces jax_platforms="axon,cpu"; override it via
 # jax.config (env vars are already consumed) BEFORE any backend initializes.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Debug cross-check: device scan packing verifies the kernel-packed bit
+# count against the host prediction before trusting known_bits.
+os.environ.setdefault("DMMT_CHECK_BITS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
