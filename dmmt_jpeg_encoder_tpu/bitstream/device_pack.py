@@ -301,6 +301,10 @@ def device_pack_scan(
     trusted and only ONE device->host fetch happens (the word slice)."""
     n_luma = int(luma.shape[0])
     n_chroma = int(cb.shape[0]) if cb is not None else 0
+    if _use_fused_pack():
+        return _fused_device_pack_scan(
+            luma, cb, cr, luma_per_mcu, ldc, lac, cdc, cac, known_bits
+        )
     perm, is_luma = scan_order_permutation(n_luma, n_chroma, luma_per_mcu)
     if known_bits is not None:
         # Exact size known up front: use a power-of-two bucketed capacity so
@@ -367,10 +371,82 @@ def _use_pallas_pack() -> bool:
     )
 
 
+def _use_fused_pack() -> bool:
+    """Route single-image packing through the one-kernel fused packer
+    (bitstream/fused_pack.py). DMMT_NO_FUSED_PACK=1 falls back to the
+    staged emissions->fragment->merge path."""
+    import os
+
+    return _use_pallas_pack() and not os.environ.get("DMMT_NO_FUSED_PACK")
+
+
 def _check_bits_enabled() -> bool:
     import os
 
     return bool(os.environ.get("DMMT_CHECK_BITS"))
+
+
+@lru_cache(maxsize=64)
+def _compiled_fused_pack(
+    n_luma: int, n_chroma: int, luma_per_mcu: int, n_words: int,
+    k_dc: int, k_ac: int,
+):
+    from .fused_pack import fused_pack_words
+
+    if n_chroma:
+        stride, lpm = luma_per_mcu + 2, luma_per_mcu
+    else:
+        stride, lpm = 1, 1  # i % 1 == 0 < 1: every block is luma
+
+    def fn(luma, cb, cr, *sweep):
+        if n_chroma:
+            scan = _interleave_scan(luma, cb, cr, n_chroma, luma_per_mcu)
+        else:
+            scan = luma
+        words, bits = fused_pack_words(scan, stride, lpm, sweep, n_words)
+        return byteswap_words(words), bits
+
+    return jax.jit(fn)
+
+
+def _fused_device_pack_scan(
+    luma, cb, cr, luma_per_mcu, ldc, lac, cdc, cac, known_bits
+):
+    """Single-image packing via the one-kernel fused packer."""
+    from .fused_pack import build_sweep_tables, fused_pack_capacity
+
+    n_luma = int(luma.shape[0])
+    n_chroma = int(cb.shape[0]) if cb is not None else 0
+    n_blocks = n_luma + 2 * n_chroma
+    sweep = build_sweep_tables(ldc, lac, cdc, cac)
+    if known_bits is not None:
+        needed_words = (known_bits + 31) // 32 + 2
+    else:
+        needed_words = n_blocks * (MAX_BLOCK_BITS // 32) + 2
+    n_words = fused_pack_capacity(needed_words)
+    fn = _compiled_fused_pack(
+        n_luma, n_chroma, luma_per_mcu, n_words,
+        int(sweep[0].shape[0]), int(sweep[3].shape[0]),
+    )
+    words, total_bits = fn(
+        luma,
+        cb if n_chroma else jnp.zeros((0, 64), jnp.int16),
+        cr if n_chroma else jnp.zeros((0, 64), jnp.int16),
+        *(jnp.asarray(t) for t in sweep),
+    )
+    if known_bits is not None and _check_bits_enabled():
+        device_bits = int(jax.device_get(total_bits))
+        if device_bits != int(known_bits):
+            raise AssertionError(
+                f"device packed {device_bits} scan bits but host predicted "
+                f"{known_bits}; histogram/emission mismatch"
+            )
+    nbits = int(known_bits) if known_bits is not None else int(
+        jax.device_get(total_bits)
+    )
+    needed = (nbits + 31) // 32
+    host_words = jax.device_get(words[:needed])
+    return finalize_scan_bytes(host_words, nbits)
 
 
 def _interleave_scan(luma, cb, cr, n_mcu: int, luma_per_mcu: int):

@@ -1,0 +1,600 @@
+"""One-kernel entropy-scan packing: coefficients -> bitstream words on-chip.
+
+Replaces the three-stage device packer (block_emissions in XLA ->
+fragment kernel -> serial merge kernel, see device_pack.py/pallas_pack.py)
+with ONE Pallas kernel that walks scan-order blocks tile by tile and
+performs, entirely in VMEM:
+
+1. EMIT — magnitude categories, AC zero-run structure (cumulative-max
+   prefix scans via lane-roll doubling), Huffman code lookups (a sweep
+   over only the symbols PRESENT in this image's tables, read from SMEM),
+   per-block bit lengths, and the running global bit offset (carried
+   across the sequential grid in SMEM — TPU grids execute in order).
+2. FRAGMENT — each block's <=68 emissions placed into a private 72-word
+   fragment pre-shifted by the block's global bit phase (lane-iota
+   compares, no scatter).
+3. MERGE — fragments lane-rolled to their word phase with VECTORIZED
+   digit shifts (static pltpu.roll + per-row selects, base-4 digits), then
+   accumulated into output rows with byte-plane MXU matmuls: the
+   block->row assignment matrix M[r, i] = (row(i) == r) turns the monotone
+   scatter into M @ fragments. Bit-disjointness of the stream makes every
+   add an OR, and per-byte sums stay < 256, so single-pass bf16 matmuls
+   are bit-exact. The staging window is DMA'd to HBM per tile with a
+   16-row carry to the next tile (same contract as pallas_pack's merge).
+
+This removes the [N,68] value/len/offset HBM intermediates (~160 MB of
+traffic per 4K image) and the serial per-block merge walk (~10 ms/4K).
+
+Semantics match the reference encoder's serial BitWriter scan
+(reference: src/image/writer/jpeg/encoder.rs:264-404, binary_stream.rs,
+categorize.rs) and are asserted byte-identical to the host packer and to
+the legacy device path in tests.
+
+Blocks are processed TWO per kernel row ([N/2, 128] layout) so every
+vector op fills all 128 lanes; per-half masks keep the prefix scans from
+leaking across the mid-row boundary.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+TILE_ROWS = 256          # kernel rows per grid step = 512 blocks
+ROW_WORDS = 256          # output row width (words)
+FRAG_WORDS = 72          # per-block fragment (64 worst case + phase + pad)
+FRAG_WIDE = 384          # fragment after lane roll (<= 255 + 72 -> 3x128)
+# Staging rows per tile: worst case 512 blocks x 64 words = 128 rows, + 8
+# alignment slop + fold row -> 144 matmul rows; + 16 carry window.
+R_MM = 144
+R_LOC = 160
+
+
+def _iszero(x):
+    return x == 0
+
+
+# --------------------------------------------------------------------------
+# Host-side sweep-table construction
+# --------------------------------------------------------------------------
+
+
+def build_sweep_tables(
+    ldc: tuple, lac: tuple, cdc: tuple | None, cac: tuple | None
+) -> tuple[np.ndarray, ...]:
+    """Present-symbol sweep tables from flat (codes, lens) arrays.
+
+    The in-kernel lookup sweeps table entries one SMEM scalar at a time;
+    sweeping only the symbols with a codeword (the tables are built from
+    this image's own histograms, so every symbol the data emits is
+    present) cuts the sweep from 256 iterations to typically 30-120.
+    Returns (dc_syms, dc_l, dc_c, ac_syms, ac_l, ac_c, misc) int32 arrays;
+    sym lists are padded to a power-of-two bucket with -1 (matches no
+    category/symbol). misc = [zrl_l, zrl_c, eob_l, eob_c] combined entries.
+    entry = code << 8 | len (< 2^24).
+    """
+
+    def comb(flat, n):
+        codes = np.asarray(flat[0], np.int64)[:n]
+        lens = np.asarray(flat[1], np.int64)[:n]
+        return ((codes << 8) | lens).astype(np.int32), lens > 0
+
+    ldc_e, ldc_p = comb(ldc, 16)
+    lac_e, lac_p = comb(lac, 256)
+    if cdc is not None:
+        cdc_e, cdc_p = comb(cdc, 16)
+        cac_e, cac_p = comb(cac, 256)
+    else:
+        cdc_e, cdc_p = np.zeros(16, np.int32), np.zeros(16, bool)
+        cac_e, cac_p = np.zeros(256, np.int32), np.zeros(256, bool)
+
+    def union(n, pa, pb, ea, eb):
+        syms = np.flatnonzero(pa | pb).astype(np.int32)
+        k = max(8, 1 << int(max(0, len(syms) - 1)).bit_length())
+        out_s = np.full(k, -1, np.int32)
+        out_a = np.zeros(k, np.int32)
+        out_b = np.zeros(k, np.int32)
+        out_s[: len(syms)] = syms
+        out_a[: len(syms)] = ea[syms]
+        out_b[: len(syms)] = eb[syms]
+        return out_s, out_a, out_b
+
+    dc_syms, dc_l, dc_c = union(16, ldc_p, cdc_p, ldc_e, cdc_e)
+    ac_syms, ac_l, ac_c = union(256, lac_p, cac_p, lac_e, cac_e)
+    misc = np.array(
+        [lac_e[0xF0], cac_e[0xF0], lac_e[0x00], cac_e[0x00]], np.int32
+    )
+    return dc_syms, dc_l, dc_c, ac_syms, ac_l, ac_c, misc
+
+
+# --------------------------------------------------------------------------
+# In-kernel helpers (pure jnp on refs' values; shared with interpret mode)
+# --------------------------------------------------------------------------
+
+
+def _lane_iota(rows, lanes):
+    import jax.lax as lax
+
+    return lax.broadcasted_iota(_I32, (rows, lanes), 1)
+
+
+def _masked_cummax(x, lane, width=64):
+    """Inclusive running max along lanes within each width-lane half."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    half_pos = lane & (width - 1)
+    s = 1
+    while s < width:
+        rolled = pltpu.roll(x, s, axis=1)
+        x = jnp.where(half_pos >= s, jnp.maximum(x, rolled), x)
+        s <<= 1
+    return x
+
+
+def _masked_cumsum(x, lane, width=64):
+    """Inclusive running sum along lanes within each width-lane half."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    half_pos = lane & (width - 1)
+    s = 1
+    while s < width:
+        rolled = pltpu.roll(x, s, axis=1)
+        x = x + jnp.where(half_pos >= s, rolled, 0)
+        s <<= 1
+    return x
+
+
+def _row_cumsum_excl(x, rows):
+    """Exclusive running sum over the sublane (row) axis of [rows, 1]."""
+    import jax.lax as lax
+    from jax.experimental.pallas import tpu as pltpu
+
+    sub = lax.broadcasted_iota(_I32, (rows, 1), 0)
+    inc = x
+    s = 1
+    while s < rows:
+        rolled = pltpu.roll(inc, s, axis=0)
+        inc = inc + jnp.where(sub >= s, rolled, 0)
+        s <<= 1
+    return inc - x
+
+
+def _sweep_lookup(sym, ischroma, syms_ref, la_ref, ca_ref, k):
+    """entry[sym] via a K-iteration sweep of SMEM scalars (no gather)."""
+    import jax.lax as lax
+
+    def body(i, acc):
+        s = syms_ref[0, i]
+        e = jnp.where(ischroma, ca_ref[0, i], la_ref[0, i])
+        return acc | jnp.where(sym == s, e, 0)
+
+    return lax.fori_loop(0, k, body, jnp.zeros(sym.shape, _I32))
+
+
+def _pattern(v, cat):
+    """JPEG magnitude bits (categorize.rs:45-74)."""
+    return jnp.where(v >= 0, v, v + (1 << cat) - 1)
+
+
+def _magnitude_category(v):
+    a = jnp.abs(v)
+    cat = jnp.zeros(v.shape, _I32)
+    for k in range(15):
+        cat = cat + (a >= (1 << k)).astype(_I32)
+    return cat
+
+
+def _var_roll_lanes(x, amount, width, max_amount):
+    """Per-row variable lane roll via base-4 digit decomposition: static
+    pltpu.roll + per-row selects only (Mosaic's roll shift must be scalar,
+    so the per-row amount is applied digit by digit, vectorized across
+    rows). amount: [rows, 1] int32 in [0, max_amount]."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    scale = 1
+    while scale <= max_amount:
+        digit = (amount // scale) & 3
+        for d in (1, 2, 3):
+            rolled = pltpu.roll(x, d * scale, axis=1)
+            x = jnp.where(digit == d, rolled, x)
+        scale <<= 2
+    return x
+
+
+def _emit_half(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
+               dc_ent, zrl_ent, eob_ent, half):
+    """Emission values/lens/offsets for one 64-lane half of the packed row.
+
+    v, cat, lane, ischroma: [T, 128] packed arrays; half in {0, 1}.
+    Returns per-half ([T,1] dc triple, [T,63] ac arrays, zrl/eob info,
+    block_bits [T,1]).
+    """
+    lo = 64 * half
+    t = v.shape[0]
+
+    # --- DC (lane lo) ---------------------------------------------------
+    dccat = cat[:, lo : lo + 1]
+    dccode = dc_ent >> 8
+    dclen = dc_ent & 0xFF
+    dcv = v[:, lo : lo + 1]
+    e_dc_val = (dccode << dccat) | _pattern(dcv, dccat)
+    e_dc_len = dclen + dccat
+
+    # --- AC structure (categorize.rs:132-151 as scans) ------------------
+    pos = (lane & 63)
+    nz = (v != 0) & (pos > 0)
+    nzpos = jnp.where(nz, pos, 0)
+    # previous nonzero position (exclusive): shift right one lane in-half
+    from jax.experimental.pallas import tpu as pltpu
+
+    shifted = jnp.where(pos >= 1, pltpu.roll(nzpos, 1, axis=1), 0)
+    prev_nz = _masked_cummax(shifted, lane)
+    run = pos - prev_nz - 1
+    zrl = jnp.where(nz, run >> 4, 0)
+    sym = ((run & 15) << 4) | cat
+    ac_ent = _sweep_lookup(
+        jnp.where(nz, sym, -2), ischroma, acsym_ref, acl_ref, acc_ref, k_ac
+    )
+    accode = ac_ent >> 8
+    aclen = ac_ent & 0xFF
+    e_ac_val = jnp.where(nz, (accode << cat) | _pattern(v, cat), 0)
+    e_ac_len = jnp.where(nz, aclen + cat, 0)
+
+    zrl_code = zrl_ent >> 8
+    zrl_len = zrl_ent & 0xFF
+    eob_code = eob_ent >> 8
+    eob_len = eob_ent & 0xFF
+    last_nz = jnp.max(jnp.where(lane // 64 == half, nzpos, 0), axis=1,
+                      keepdims=True)
+    has_eob = last_nz < 63
+    e_eob_len = jnp.where(has_eob, eob_len, 0)
+
+    # --- offsets within the block (exclusive scans) ---------------------
+    pre = zrl * zrl_len
+    seg = pre + e_ac_len
+    seg_incl = _masked_cumsum(seg, lane)
+    start = e_dc_len + (seg_incl - seg)  # [T,128] broadcast of dc_len
+    e_ac_off = start + pre
+    half_mask = (lane // 64) == half
+    ac_total = jnp.sum(jnp.where(half_mask, seg, 0), axis=1, keepdims=True)
+    e_eob_off = e_dc_len + ac_total
+    block_bits = e_dc_len + ac_total + e_eob_len
+
+    # --- the <=3 ZRL slots (masked reduces; no take_along_axis) ---------
+    cz = _masked_cumsum(zrl, lane)
+    cz_excl = cz - zrl
+    total_z = jnp.sum(jnp.where(half_mask, zrl, 0), axis=1, keepdims=True)
+    zrl_slots = []
+    for i in range(3):
+        active = total_z > i
+        hit = half_mask & (cz > i) & (cz_excl <= i)  # the i-th ZRL's owner
+        start_ki = jnp.sum(jnp.where(hit, start, 0), axis=1, keepdims=True)
+        excl_ki = jnp.sum(jnp.where(hit, cz_excl, 0), axis=1, keepdims=True)
+        off_i = start_ki + (i - excl_ki) * zrl_len
+        len_i = jnp.where(active, zrl_len, 0)
+        zrl_slots.append((zrl_code, len_i, off_i))
+
+    # slice this half's 63 AC lanes to [T, 63]
+    sl = lo + 1
+    ac_val63 = e_ac_val[:, sl : sl + 63]
+    ac_len63 = e_ac_len[:, sl : sl + 63]
+    ac_off63 = e_ac_off[:, sl : sl + 63]
+    return (
+        (e_dc_val, e_dc_len),
+        (ac_val63, ac_len63, ac_off63),
+        zrl_slots,
+        (eob_code, e_eob_len, e_eob_off),
+        block_bits,
+    )
+
+
+def _place_fragment(emis, shift, t_rows):
+    """Place one half's emissions into [T, FRAG_WORDS] pre-shifted
+    fragments (lane-iota compares; bit-disjoint adds are ORs)."""
+    (dc_val, dc_len), (ac_val, ac_len, ac_off), zrl_slots, \
+        (eob_code, eob_len, eob_off), _ = emis
+    lane_f = _lane_iota(t_rows, FRAG_WORDS)
+
+    frag = jnp.zeros((t_rows, FRAG_WORDS), _U32)
+    zero_u = jnp.zeros((), _U32)
+
+    def add(frag, val, ln, off):
+        # val/ln/off: [T, 1] or [T, 63]; place each column. Mosaic lacks
+        # i32<->u32 value casts; everything here is non-negative, so
+        # bitcasts are value-preserving.
+        import jax.lax as lax
+
+        off = off + shift
+        b0 = off & 31
+        end = b0 + ln
+        spill_i = jnp.maximum(end - 32, 0)
+        spill = lax.bitcast_convert_type(spill_i, _U32)
+        keep = lax.bitcast_convert_type(jnp.maximum(32 - end, 0), _U32)
+        uval = lax.bitcast_convert_type(val, _U32)
+        c0 = jnp.where(ln > 0, (uval >> spill) << keep, zero_u)
+        c1 = jnp.where(
+            spill_i > 0,
+            uval << lax.bitcast_convert_type(32 - spill_i, _U32),
+            zero_u,
+        )
+        o = off >> 5
+        for e in range(val.shape[1]):
+            oe = o[:, e : e + 1]
+            frag = frag | jnp.where(lane_f == oe, c0[:, e : e + 1], zero_u)
+            frag = frag | jnp.where(lane_f == oe + 1, c1[:, e : e + 1], zero_u)
+        return frag
+
+    frag = add(frag, dc_val, dc_len, jnp.zeros_like(dc_len))
+    frag = add(frag, ac_val, ac_len, ac_off)
+    for code, ln, off in zrl_slots:
+        frag = add(frag, code * jnp.ones_like(ln), ln, off)
+    frag = add(frag, eob_code * jnp.ones_like(eob_len), eob_len, eob_off)
+    return frag
+
+
+def _merge_halves(frag, q_rel, t_rows):
+    """Fragments [T, FRAG_WORDS] at relative word offsets q_rel [T,1] ->
+    [R_MM, ROW_WORDS+128] accumulated rows via byte-plane matmuls."""
+    import jax.lax as lax
+
+    # lane-roll each fragment to its word phase within its output row
+    wide = jnp.pad(frag, ((0, 0), (0, FRAG_WIDE - FRAG_WORDS)))
+    l = q_rel & (ROW_WORDS - 1)
+    rolled = _var_roll_lanes(wide, l, FRAG_WIDE, ROW_WORDS - 1)
+
+    # block row ids on the LANE axis (transpose via identity matmul —
+    # exact: values < 2^24 with HIGHEST precision)
+    r = (q_rel // ROW_WORDS).astype(jnp.float32)  # [T, 1]
+    eye = jnp.eye(t_rows, dtype=jnp.float32)
+    r_lane = lax.dot_general(
+        r, eye, (((0,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [1, T]
+    sub = lax.broadcasted_iota(jnp.float32, (R_MM, t_rows), 0)
+    m = (sub == r_lane).astype(jnp.float32)  # [R_MM, T]
+
+    # byte-plane matmuls: per-byte sums < 256 (bit-disjoint stream), so
+    # single-pass bf16 MXU passes are exact. Mosaic has no u32<->f32
+    # casts; the byte planes are small non-negative ints, so bitcast
+    # through i32 is value-preserving.
+    ur = rolled
+    out = jnp.zeros((R_MM, FRAG_WIDE), _U32)
+    for b in range(4):
+        plane_i = lax.bitcast_convert_type((ur >> (8 * b)) & 0xFF, _I32)
+        plane = plane_i.astype(jnp.float32)
+        acc = jnp.dot(m, plane, preferred_element_type=jnp.float32)
+        acc_u = lax.bitcast_convert_type(acc.astype(_I32), _U32)
+        out = out | (acc_u << (8 * b))
+    return out
+
+
+# --------------------------------------------------------------------------
+# The kernel
+# --------------------------------------------------------------------------
+
+
+def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj):
+    """Builds the kernel fn; static config baked in (block count for the
+    valid mask, scan stride for the in-kernel luma/chroma pattern)."""
+
+    def kernel(*refs):
+        import jax.lax as lax
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        if adj:
+            (blocks_ref, adj_ref, dcsym, dcl, dcc, acsym, acl, acc, misc,
+             out_ref, nbits_ref, staging, carry, state, sem) = refs
+        else:
+            (blocks_ref, dcsym, dcl, dcc, acsym, acl, acc, misc,
+             out_ref, nbits_ref, staging, carry, state, sem) = refs
+            adj_ref = None
+
+        t = pl.program_id(0)
+        trows = TILE_ROWS
+
+        @pl.when(t == 0)
+        def _():
+            state[0] = 0
+            state[1] = 0
+
+        bit_base = state[0]
+        base_row = pl.multiple_of(state[1], 8)
+
+        v = blocks_ref[:]  # [T, 128] i32: two scan blocks per row
+        lane = _lane_iota(trows, 128)
+        sub = lax.broadcasted_iota(_I32, (trows, 1), 0)
+        # global block index per half
+        i_e = (t * trows + sub) * 2
+        i_o = i_e + 1
+        valid_e = i_e < n_blocks
+        valid_o = i_o < n_blocks
+        # scan interleave pattern: Y...Y Cb Cr per MCU (block_fold_iterator)
+        ic_e = (i_e % stride) >= luma_per_mcu
+        ic_o = (i_o % stride) >= luma_per_mcu
+        ischroma = jnp.where((lane // 64) == 0, ic_e, ic_o)
+
+        cat = _magnitude_category(v)
+
+        def misc_pick(l_idx, c_idx, ic):
+            return jnp.where(ic, misc[0, c_idx], misc[0, l_idx])
+
+        halves = []
+        for half, ic in ((0, ic_e), (1, ic_o)):
+            # DC lookup: sweep over present DC categories, [T, 1]
+            dc_ent = _sweep_lookup(
+                cat[:, 64 * half : 64 * half + 1], ic, dcsym, dcl, dcc, k_dc
+            )
+            emis = _emit_half(
+                v, cat, lane, ischroma, acsym, acl, acc, k_ac,
+                dc_ent, misc_pick(0, 1, ic), misc_pick(2, 3, ic), half,
+            )
+            halves.append(emis)
+
+        bits_e = jnp.where(valid_e, halves[0][4], 0)
+        bits_o = jnp.where(valid_o, halves[1][4], 0)
+        if adj_ref is not None:
+            a = adj_ref[:]
+            adj_e = a[:, 0:1]
+            adj_o = a[:, 1:2]
+        else:
+            adj_e = jnp.zeros_like(bits_e)
+            adj_o = jnp.zeros_like(bits_o)
+
+        # global bit offsets: carried base + in-tile exclusive row scan
+        row_bits = bits_e + bits_o + adj_e + adj_o
+        row_base = bit_base + _row_cumsum_excl(row_bits, trows)
+        boff_e = row_base + adj_e
+        boff_o = boff_e + bits_e + adj_o
+        tile_bits = jnp.sum(row_bits)
+
+        staging[:] = jnp.zeros_like(staging)
+
+        @pl.when(t > 0)
+        def _():
+            staging[0:16, :] = carry[:]
+
+        for emis, boff, valid in (
+            (halves[0], boff_e, valid_e),
+            (halves[1], boff_o, valid_o),
+        ):
+            # invalid (padding) blocks: zero every emission length
+            (dc_v, dc_l), (ac_v, ac_l, ac_o), zrls, (eb_c, eb_l, eb_o), _ = emis
+            dc_l = jnp.where(valid, dc_l, 0)
+            ac_l = jnp.where(valid, ac_l, 0)
+            eb_l = jnp.where(valid, eb_l, 0)
+            zrls = [(c, jnp.where(valid, ln, 0), o) for (c, ln, o) in zrls]
+            emis2 = ((dc_v, dc_l), (ac_v, ac_l, ac_o), zrls,
+                     (eb_c, eb_l, eb_o), None)
+            frag = _place_fragment(emis2, boff & 31, trows)
+            q_rel = (boff >> 5) - base_row * ROW_WORDS
+            merged = _merge_halves(frag, q_rel, trows)
+            # fold spill lanes [ROW_WORDS:] into the next row's low lanes
+            main = merged[:, :ROW_WORDS]
+            spill = merged[:, ROW_WORDS:]
+            spill_dn = pltpu.roll(spill, 1, axis=0)
+            sub_mm = lax.broadcasted_iota(_I32, (R_MM, FRAG_WIDE - ROW_WORDS), 0)
+            spill_dn = jnp.where(sub_mm >= 1, spill_dn, 0)
+            staging[0:R_MM, :] = staging[0:R_MM, :] | main
+            staging[0:R_MM, 0 : FRAG_WIDE - ROW_WORDS] = (
+                staging[0:R_MM, 0 : FRAG_WIDE - ROW_WORDS] | spill_dn
+            )
+
+        # DMA the window out; hand the boundary to the next tile
+        dma = pltpu.make_async_copy(
+            staging, out_ref.at[pl.ds(base_row, R_LOC), :], sem
+        )
+        dma.start()
+        dma.wait()
+
+        new_bits = bit_base + tile_bits
+        new_base = (new_bits // (32 * ROW_WORDS)) & ~7
+        d_r = pl.multiple_of(new_base - base_row, 8)
+        carry[:] = staging[pl.ds(d_r, 16), :]
+        state[0] = new_bits
+        state[1] = new_base
+        nbits_ref[0, 0] = new_bits
+
+    return kernel
+
+
+def fused_pack_capacity(needed_words: int) -> int:
+    """Bucketed output capacity (power of two) incl. the DMA window slop."""
+    base = needed_words + (R_LOC + 2) * ROW_WORDS
+    return 1 << max(16, int(base).bit_length())
+
+
+def fused_pack_words(
+    scan_blocks: jnp.ndarray,
+    stride: int,
+    luma_per_mcu: int,
+    sweep: tuple,
+    n_words: int,
+    adj: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Scan-order zigzag blocks [N, 64] (int, DC already DPCM) -> packed
+    big-endian u32 word stream + total bit count, one Pallas dispatch.
+
+    sweep: build_sweep_tables output (device or numpy arrays).
+    adj: optional [N] int32 per-block bit adjustments added to the running
+    offset BEFORE the block (the batched packer word-aligns images).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
+    dc_syms, dc_l, dc_c, ac_syms, ac_l, ac_c, misc = sweep
+    k_dc = int(dc_syms.shape[0])
+    k_ac = int(ac_syms.shape[0])
+
+    n = int(scan_blocks.shape[0])
+    n2 = -(-n // 2)
+    n2_pad = -(-n2 // TILE_ROWS) * TILE_ROWS
+    v = scan_blocks.astype(_I32).reshape(-1)
+    pad_elems = n2_pad * 128 - n * 64
+    if pad_elems:
+        v = jnp.pad(v, (0, pad_elems))
+    v2 = v.reshape(n2_pad, 128)
+    args = [v2]
+    if adj is not None:
+        a = adj.astype(_I32)
+        if n2_pad * 2 - n:
+            a = jnp.pad(a, (0, n2_pad * 2 - n))
+        args.append(a.reshape(n2_pad, 2))
+
+    n_tiles = n2_pad // TILE_ROWS
+    r_out = n_words // ROW_WORDS
+
+    in_specs = [
+        pl.BlockSpec((TILE_ROWS, 128), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if adj is not None:
+        in_specs.append(
+            pl.BlockSpec((TILE_ROWS, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    for k in (k_dc, k_dc, k_dc, k_ac, k_ac, k_ac, 4):
+        in_specs.append(
+            pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+    args += [
+        jnp.asarray(x).reshape(1, -1)
+        for x in (dc_syms, dc_l, dc_c, ac_syms, ac_l, ac_c, misc)
+    ]
+
+    kernel = _make_kernel(
+        n, stride, luma_per_mcu, k_dc, k_ac, n2_pad, adj is not None
+    )
+    words2d, nbits = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((r_out, ROW_WORDS), _U32),
+            jax.ShapeDtypeStruct((1, 1), _I32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R_LOC, ROW_WORDS), _U32),
+            pltpu.VMEM((16, ROW_WORDS), _U32),
+            pltpu.SMEM((4,), _I32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return words2d.reshape(-1), nbits[0, 0]

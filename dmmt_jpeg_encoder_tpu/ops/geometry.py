@@ -61,6 +61,47 @@ def subsample(chan: jnp.ndarray, preset: ChromaSubsamplingPreset) -> jnp.ndarray
     return total / 4.0
 
 
+def subsample_generalized(
+    chan: jnp.ndarray,
+    horizontal_rate: int,
+    vertical_rate: int,
+    method: SubsamplingMethod,
+) -> jnp.ndarray:
+    """Arbitrary-rate subsampling with the reference's border semantics
+    (reference: src/image/subsampling.rs:81-135): output dims truncate to
+    floor(dim / rate); Average pushes the h x v rect column-major (x outer,
+    y inner) with coordinates CLAMPED to the last row/column, and divides
+    by the full rect size (clamped duplicates included).
+
+    The CLI presets take the reshape fast path in subsample(); this is the
+    library-level generalization (any rates, any — even non-multiple —
+    channel shape). Rates are static, so the cell loop unrolls at trace
+    time into shifted adds; only non-divisible shapes pay a clamped slice.
+    """
+    hr, vr = int(horizontal_rate), int(vertical_rate)
+    if hr < 1 or vr < 1:
+        raise ValueError("subsampling rates must be >= 1")
+    h, w = chan.shape
+    sh, sw = h // vr, w // hr
+    if method is SubsamplingMethod.SKIP:
+        return chan[: sh * vr : vr, : sw * hr : hr]
+
+    def shifted(y: int, x: int) -> jnp.ndarray:
+        # sample grid (r*vr + y, c*hr + x), edge-clamped
+        if (sh - 1) * vr + y < h and (sw - 1) * hr + x < w:
+            return chan[y : y + sh * vr : vr, x : x + sw * hr : hr]
+        rows = np.minimum(np.arange(sh) * vr + y, h - 1)
+        cols = np.minimum(np.arange(sw) * hr + x, w - 1)
+        return chan[rows][:, cols]
+
+    total = None
+    for x in range(hr):          # reference sum order: x outer, y inner
+        for y in range(vr):
+            s = shifted(y, x)
+            total = s if total is None else total + s
+    return total / float(hr * vr)
+
+
 def blockize(chan: jnp.ndarray) -> jnp.ndarray:
     """[H, W] -> [n_blocks, 8, 8] in raster block order (row of blocks at a
     time), the reshape form of subsample_to_square_structure

@@ -110,3 +110,76 @@ def test_entangled_blockize_matches_permutation(rng):
     np.testing.assert_array_equal(
         np.asarray(entangled_blockize_p420(chan)), expected
     )
+
+
+# --- generalized subsampler (reference: src/image/subsampling.rs:81-135) ---
+
+
+def _reference_subsample(chan, hr, vr, average):
+    """Direct numpy port of the reference's rect/clamp/ordered-sum logic."""
+    h, w = chan.shape
+    sh, sw = h // vr, w // hr
+    out = np.empty((sh, sw), np.float32)
+    for r in range(sh):
+        for c in range(sw):
+            if not average:
+                out[r, c] = chan[r * vr, c * hr]
+                continue
+            acc = np.float32(0)
+            for x in range(hr):
+                for y in range(vr):
+                    rr = min(h - 1, r * vr + y)
+                    cc = min(w - 1, c * hr + x)
+                    acc = acc + chan[rr, cc]
+            out[r, c] = acc / np.float32(hr * vr)
+    return out
+
+
+@pytest.mark.parametrize(
+    "shape,hr,vr",
+    [((12, 16), 2, 2), ((13, 17), 2, 2), ((15, 14), 3, 2), ((9, 10), 1, 3),
+     ((7, 7), 4, 4), ((8, 8), 1, 1)],
+)
+def test_subsample_generalized_average(shape, hr, vr):
+    from dmmt_jpeg_encoder_tpu.config import SubsamplingMethod
+    from dmmt_jpeg_encoder_tpu.ops.geometry import subsample_generalized
+
+    rng = np.random.default_rng(5)
+    chan = rng.random(shape, dtype=np.float32)
+    got = np.asarray(
+        subsample_generalized(jnp.asarray(chan), hr, vr, SubsamplingMethod.AVERAGE)
+    )
+    want = _reference_subsample(chan, hr, vr, average=True)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape,hr,vr", [((13, 17), 2, 3), ((8, 8), 2, 2)])
+def test_subsample_generalized_skip(shape, hr, vr):
+    from dmmt_jpeg_encoder_tpu.config import SubsamplingMethod
+    from dmmt_jpeg_encoder_tpu.ops.geometry import subsample_generalized
+
+    rng = np.random.default_rng(6)
+    chan = rng.random(shape, dtype=np.float32)
+    got = np.asarray(
+        subsample_generalized(jnp.asarray(chan), hr, vr, SubsamplingMethod.SKIP)
+    )
+    want = _reference_subsample(chan, hr, vr, average=False)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_subsample_generalized_matches_preset_path():
+    """On MCU-padded shapes the generalized path must equal the preset
+    reshape fast path bit-for-bit (same summation order)."""
+    from dmmt_jpeg_encoder_tpu.config import ChromaSubsamplingPreset
+    from dmmt_jpeg_encoder_tpu.ops.geometry import subsample, subsample_generalized
+
+    rng = np.random.default_rng(7)
+    chan = jnp.asarray(rng.random((32, 48), dtype=np.float32))
+    for preset in ChromaSubsamplingPreset:
+        got = np.asarray(
+            subsample_generalized(
+                chan, preset.horizontal_rate, preset.vertical_rate, preset.method
+            )
+        )
+        want = np.asarray(subsample(chan, preset))
+        np.testing.assert_array_equal(got, want)
