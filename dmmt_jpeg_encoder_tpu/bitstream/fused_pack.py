@@ -352,14 +352,16 @@ def _merge_halves(frag, q_rel, t_rows):
     # block row ids on the LANE axis (transpose via identity matmul —
     # exact: values < 2^24 with HIGHEST precision)
     r = (q_rel // ROW_WORDS).astype(jnp.float32)  # [T, 1]
-    eye = jnp.eye(t_rows, dtype=jnp.float32)
+    ei = lax.broadcasted_iota(_I32, (t_rows, t_rows), 0)
+    ej = lax.broadcasted_iota(_I32, (t_rows, t_rows), 1)
+    eye = jnp.where(ei == ej, 1.0, 0.0).astype(jnp.float32)
     r_lane = lax.dot_general(
         r, eye, (((0,), (0,)), ((), ())),
         precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
-    )  # [1, T]
-    sub = lax.broadcasted_iota(jnp.float32, (R_MM, t_rows), 0)
-    m = (sub == r_lane).astype(jnp.float32)  # [R_MM, T]
+    ).astype(_I32)  # [1, T] (f32 iota/compare are Mosaic gaps; go via i32)
+    sub = lax.broadcasted_iota(_I32, (R_MM, t_rows), 0)
+    m = jnp.where(sub == r_lane, 1.0, 0.0).astype(jnp.float32)  # [R_MM, T]
 
     # byte-plane matmuls: per-byte sums < 256 (bit-disjoint stream), so
     # single-pass bf16 MXU passes are exact. Mosaic has no u32<->f32

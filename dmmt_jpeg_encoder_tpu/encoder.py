@@ -211,7 +211,7 @@ def encode_batch(
     framework's throughput scenario, BASELINE.md.)"""
     config = config or EncoderConfig()
     if config.num_shards > 1:
-        return [encode_array(px, maxval, config) for px in images]
+        return _encode_batch_sharded(images, maxval, config)
 
     import jax
 
@@ -270,6 +270,58 @@ def encode_batch(
     for i, px in enumerate(images):
         results[i] = run_device_pipeline(
             _narrow_pixels(px, maxval), maxval, config, luma_q, chroma_q
+        )
+        if i > 0:
+            finish(i - 1)
+    finish(len(images) - 1)
+    return out
+
+
+def _encode_batch_sharded(
+    images: list[np.ndarray], maxval: int, config: EncoderConfig
+) -> list[bytes]:
+    """Sharding x batching: a two-deep software pipeline over the sharded
+    per-image executables — image i+1's multi-chip phase-1 dispatch
+    overlaps image i's host table-build, per-shard packing sync, and
+    container assembly. Bit-exact vs per-image encode_array (tested)."""
+    import jax
+
+    backend = config.scan_backend
+    if backend == "auto":
+        backend = "device" if jax.default_backend() != "cpu" else "host"
+    if backend != "device":
+        # Host packing needs the coefficient download anyway; run the
+        # images through the non-pipelined path sequentially.
+        return [encode_array(px, maxval, config) for px in images]
+
+    from .parallel.sharding import finish_sharded_encode, start_sharded_encode
+
+    luma_q, chroma_q = quantization_table_pair(
+        config.quantization_preset, config.quality
+    )
+    states: list[tuple | None] = [None] * len(images)
+    out: list[bytes | None] = [None] * len(images)
+
+    def finish(i: int) -> None:
+        scan, tables = finish_sharded_encode(states[i], config)
+        out[i] = assemble_jpeg(
+            width=int(images[i].shape[1]),
+            height=int(images[i].shape[0]),
+            bits_per_channel=config.bits_per_channel,
+            preset=config.chroma_subsampling,
+            luma_quant=luma_q,
+            chroma_quant=chroma_q,
+            luma_dc=tables.luma_dc,
+            luma_ac=tables.luma_ac,
+            chroma_dc=tables.chroma_dc,
+            chroma_ac=tables.chroma_ac,
+            scan_bytes=scan,
+        )
+        states[i] = None  # release device blocks
+
+    for i, px in enumerate(images):
+        states[i] = start_sharded_encode(
+            _narrow_pixels(px, maxval), maxval, config
         )
         if i > 0:
             finish(i - 1)

@@ -40,6 +40,11 @@ def initialize_distributed(
     except RuntimeError:
         # already initialized — keep going
         pass
+    except ValueError:
+        # no coordinator given and no cluster autodetection available:
+        # plain single-process run, nothing to wire up
+        if coordinator_address is not None:
+            raise
 
 
 def global_mesh_shards() -> int:

@@ -354,13 +354,30 @@ def _compiled_shard_pack(
     return jax.jit(sharded)
 
 
-def encode_sharded_scan(
+def start_sharded_encode(
     pixels: np.ndarray,
     maxval: int,
     config: EncoderConfig,
+) -> tuple:
+    """Dispatch the sharded phase-1 program WITHOUT synchronizing.
+
+    JAX dispatch is asynchronous, so the caller can start image i+1's
+    device work (or finish image i's host tail) before this image's
+    histograms are fetched — the batch pipeline composes sharding with
+    batching this way. Returns an opaque state for finish_sharded_encode."""
+    luma_q, chroma_q = quantization_table_pair(
+        config.quantization_preset, config.quality
+    )
+    outputs, geom = _run_sharded_raw(pixels, maxval, config, luma_q, chroma_q)
+    return outputs, geom
+
+
+def finish_sharded_encode(
+    state: tuple,
+    config: EncoderConfig,
 ) -> tuple[bytes, "object"]:
-    """Full sharded encode of the entropy scan: phase-1 shard_map, global
-    tables from psum'd histograms, per-shard device packing, host bit-merge.
+    """Synchronize a start_sharded_encode dispatch: global tables from the
+    psum'd histograms, per-shard device packing, host bit-merge.
 
     Returns (stuffed scan bytes, HuffmanTables)."""
     from ..bitstream.device_pack import (
@@ -374,10 +391,7 @@ def encode_sharded_scan(
 
     preset = config.chroma_subsampling
     n = config.num_shards
-    luma_q, chroma_q = quantization_table_pair(config.quantization_preset, config.quality)
-    outputs, (ph, pw, rows_per_shard, valid_mcu_rows) = _run_sharded_raw(
-        pixels, maxval, config, luma_q, chroma_q
-    )
+    outputs, (ph, pw, rows_per_shard, valid_mcu_rows) = state
 
     # Global tables from the psum'd histograms + per-shard exact bit counts.
     g_ldc, g_lac, g_cdc, g_cac, s_ldc, s_lac, s_cdc, s_cac = jax.device_get(
@@ -443,3 +457,17 @@ def encode_sharded_scan(
     if len(ff):
         merged = np.insert(merged, ff + 1, 0)
     return merged.tobytes(), tables
+
+
+def encode_sharded_scan(
+    pixels: np.ndarray,
+    maxval: int,
+    config: EncoderConfig,
+) -> tuple[bytes, "object"]:
+    """Full sharded encode of the entropy scan: phase-1 shard_map, global
+    tables from psum'd histograms, per-shard device packing, host bit-merge.
+
+    Returns (stuffed scan bytes, HuffmanTables)."""
+    return finish_sharded_encode(
+        start_sharded_encode(pixels, maxval, config), config
+    )

@@ -46,6 +46,7 @@ def _build(sources: list[Path], out: Path) -> None:
         "-shared",
         "-fPIC",
         "-std=c11",
+        "-pthread",
         "-o",
         str(out),
         *[str(s) for s in sources],

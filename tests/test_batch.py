@@ -45,3 +45,31 @@ def test_encode_batch_mixed_shapes_falls_back(rng):
     batched = encode_batch(imgs, 255, cfg)
     singles = [encode_array(px, 255, cfg) for px in imgs]
     assert batched == singles
+
+
+def test_sharded_batch_pipelined_bit_exact():
+    """encode_batch with num_shards>1 pipelines sharded dispatches and
+    must produce exactly the per-image encode_array bytes."""
+    from dmmt_jpeg_encoder_tpu.config import ChromaSubsamplingPreset, EncoderConfig
+    from dmmt_jpeg_encoder_tpu.encoder import encode_array, encode_batch
+
+    rng = np.random.default_rng(11)
+    images = [
+        rng.integers(0, 256, (40, 36, 3), dtype=np.uint16) for _ in range(3)
+    ]
+    cfg = EncoderConfig(
+        chroma_subsampling=ChromaSubsamplingPreset.P420,
+        num_shards=4,
+        scan_backend="device",
+    )
+    batched = encode_batch(images, 255, cfg)
+    singles = [encode_array(px, 255, cfg) for px in images]
+    assert batched == singles
+    # and identical to the single-chip bytes
+    plain = [
+        encode_array(
+            px, 255, EncoderConfig(chroma_subsampling=ChromaSubsamplingPreset.P420)
+        )
+        for px in images
+    ]
+    assert batched == plain
