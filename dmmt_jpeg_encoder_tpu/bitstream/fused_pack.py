@@ -167,12 +167,13 @@ def _row_cumsum_excl(x, rows):
 
 
 def _sweep_lookup(sym, ischroma, syms_ref, la_ref, ca_ref, k):
-    """entry[sym] via a K-iteration sweep of SMEM scalars (no gather)."""
+    """entry[sym] via a K-iteration sweep of SMEM scalars (no gather).
+    ischroma: int32 0/1 (Mosaic can't produce bool vectors from selects)."""
     import jax.lax as lax
 
     def body(i, acc):
         s = syms_ref[0, i]
-        e = jnp.where(ischroma, ca_ref[0, i], la_ref[0, i])
+        e = jnp.where(ischroma > 0, ca_ref[0, i], la_ref[0, i])
         return acc | jnp.where(sym == s, e, 0)
 
     return lax.fori_loop(0, k, body, jnp.zeros(sym.shape, _I32))
@@ -383,22 +384,30 @@ def _merge_halves(frag, q_rel, t_rows):
 # --------------------------------------------------------------------------
 
 
-def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj):
+def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
+                 dyn_k=False):
     """Builds the kernel fn; static config baked in (block count for the
-    valid mask, scan stride for the in-kernel luma/chroma pattern)."""
+    valid mask, scan stride for the in-kernel luma/chroma pattern). With
+    dyn_k, the sweep loop bounds come from an SMEM input at run time (the
+    one-dispatch path: tables are built on device, so the present-symbol
+    counts are data) while k_dc/k_ac remain the static array capacities."""
 
     def kernel(*refs):
         import jax.lax as lax
         from jax.experimental import pallas as pl
         from jax.experimental.pallas import tpu as pltpu
 
-        if adj:
-            (blocks_ref, adj_ref, dcsym, dcl, dcc, acsym, acl, acc, misc,
-             out_ref, nbits_ref, staging, carry, state, sem) = refs
+        refs = list(refs)
+        blocks_ref = refs.pop(0)
+        adj_ref = refs.pop(0) if adj else None
+        kdyn_ref = refs.pop(0) if dyn_k else None
+        (dcsym, dcl, dcc, acsym, acl, acc, misc,
+         out_ref, nbits_ref, staging, carry, state, sem) = refs
+        if dyn_k:
+            k_dc_rt = jnp.minimum(kdyn_ref[0, 0], k_dc)
+            k_ac_rt = jnp.minimum(kdyn_ref[0, 1], k_ac)
         else:
-            (blocks_ref, dcsym, dcl, dcc, acsym, acl, acc, misc,
-             out_ref, nbits_ref, staging, carry, state, sem) = refs
-            adj_ref = None
+            k_dc_rt, k_ac_rt = k_dc, k_ac
 
         t = pl.program_id(0)
         trows = TILE_ROWS
@@ -419,24 +428,25 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj):
         i_o = i_e + 1
         valid_e = i_e < n_blocks
         valid_o = i_o < n_blocks
-        # scan interleave pattern: Y...Y Cb Cr per MCU (block_fold_iterator)
-        ic_e = (i_e % stride) >= luma_per_mcu
-        ic_o = (i_o % stride) >= luma_per_mcu
+        # scan interleave pattern: Y...Y Cb Cr per MCU (block_fold_iterator).
+        # int32 0/1 flags, not bool: Mosaic rejects bool-valued selects.
+        ic_e = ((i_e % stride) >= luma_per_mcu).astype(_I32)
+        ic_o = ((i_o % stride) >= luma_per_mcu).astype(_I32)
         ischroma = jnp.where((lane // 64) == 0, ic_e, ic_o)
 
         cat = _magnitude_category(v)
 
         def misc_pick(l_idx, c_idx, ic):
-            return jnp.where(ic, misc[0, c_idx], misc[0, l_idx])
+            return jnp.where(ic > 0, misc[0, c_idx], misc[0, l_idx])
 
         halves = []
         for half, ic in ((0, ic_e), (1, ic_o)):
             # DC lookup: sweep over present DC categories, [T, 1]
             dc_ent = _sweep_lookup(
-                cat[:, 64 * half : 64 * half + 1], ic, dcsym, dcl, dcc, k_dc
+                cat[:, 64 * half : 64 * half + 1], ic, dcsym, dcl, dcc, k_dc_rt
             )
             emis = _emit_half(
-                v, cat, lane, ischroma, acsym, acl, acc, k_ac,
+                v, cat, lane, ischroma, acsym, acl, acc, k_ac_rt,
                 dc_ent, misc_pick(0, 1, ic), misc_pick(2, 3, ic), half,
             )
             halves.append(emis)
@@ -521,6 +531,7 @@ def fused_pack_words(
     sweep: tuple,
     n_words: int,
     adj: jnp.ndarray | None = None,
+    k_dyn: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Scan-order zigzag blocks [N, 64] (int, DC already DPCM) -> packed
     big-endian u32 word stream + total bit count, one Pallas dispatch.
@@ -528,6 +539,8 @@ def fused_pack_words(
     sweep: build_sweep_tables output (device or numpy arrays).
     adj: optional [N] int32 per-block bit adjustments added to the running
     offset BEFORE the block (the batched packer word-aligns images).
+    k_dyn: optional i32 [2] runtime (dc, ac) sweep lengths — pass when the
+    sweep arrays are device-built with capacity padding.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -564,6 +577,11 @@ def fused_pack_words(
             pl.BlockSpec((TILE_ROWS, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
         )
+    if k_dyn is not None:
+        in_specs.append(
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        )
+        args.append(jnp.asarray(k_dyn).astype(_I32).reshape(1, 2))
     for k in (k_dc, k_dc, k_dc, k_ac, k_ac, k_ac, 4):
         in_specs.append(
             pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.SMEM)
@@ -574,7 +592,8 @@ def fused_pack_words(
     ]
 
     kernel = _make_kernel(
-        n, stride, luma_per_mcu, k_dc, k_ac, n2_pad, adj is not None
+        n, stride, luma_per_mcu, k_dc, k_ac, n2_pad, adj is not None,
+        dyn_k=k_dyn is not None,
     )
     words2d, nbits = pl.pallas_call(
         kernel,

@@ -149,6 +149,13 @@ class EncoderConfig:
     # None for the preset's raw tables (the reference has fixed presets
     # only; this extension enables standard quality sweeps).
     quality: int | None = None
+    # One-dispatch encode: Huffman tables built ON DEVICE and the scan
+    # packed in the same jit program as the pipeline (onedispatch.py) —
+    # no mid-encode host sync, no content-dependent recompiles. "auto"
+    # uses it whenever the device packer is active and the image is within
+    # the device table build's exactness bound; "off" forces the
+    # two-dispatch host-table path.
+    one_dispatch: str = "auto"
 
     def __post_init__(self) -> None:
         if self.bits_per_channel not in (8, 16, 32):
@@ -159,4 +166,9 @@ class EncoderConfig:
             raise ValueError(
                 f"scan_backend must be 'auto', 'device', or 'host' "
                 f"(got {self.scan_backend!r})"
+            )
+        if self.one_dispatch not in ("auto", "off"):
+            raise ValueError(
+                f"one_dispatch must be 'auto' or 'off' "
+                f"(got {self.one_dispatch!r})"
             )

@@ -130,6 +130,32 @@ def _narrow_pixels(pixels: np.ndarray, maxval: int) -> np.ndarray:
     return pixels
 
 
+def _resolve_backend(config: EncoderConfig) -> str:
+    backend = config.scan_backend
+    if backend == "auto":
+        import jax
+
+        backend = "device" if jax.default_backend() != "cpu" else "host"
+    return backend
+
+
+def _use_one_dispatch(config: EncoderConfig, height: int, width: int) -> bool:
+    """One-dispatch encode: device-built Huffman tables + fused pack in a
+    single jit program (onedispatch.py). Requires the Pallas packer and
+    the device-table exactness bound; DMMT_NO_ONEDISPATCH=1 or
+    one_dispatch='off' fall back to the two-dispatch path."""
+    import os
+
+    if config.one_dispatch == "off" or os.environ.get("DMMT_NO_ONEDISPATCH"):
+        return False
+    from .bitstream.device_pack import _use_pallas_pack
+    from .onedispatch import one_dispatch_supported
+
+    return _use_pallas_pack() and one_dispatch_supported(
+        height, width, config.chroma_subsampling
+    )
+
+
 def encode_array(
     pixels: np.ndarray,
     maxval: int = 255,
@@ -168,12 +194,23 @@ def encode_array(
         from .parallel.sharding import run_sharded_pipeline
 
         result = run_sharded_pipeline(pixels, maxval, config, luma_q, chroma_q)
+        tables = HuffmanTables.from_histograms(result)
+        scan = pack_scan(result, tables, config, use_native=use_native)
+    elif _resolve_backend(config) == "device" and _use_one_dispatch(
+        config, int(pixels.shape[0]), int(pixels.shape[1])
+    ):
+        from .onedispatch import finish_one_dispatch, start_one_dispatch
+
+        state = start_one_dispatch(
+            _narrow_pixels(pixels, maxval), maxval, config, luma_q, chroma_q
+        )
+        scan, tables = finish_one_dispatch(state, config)
     else:
         result = run_device_pipeline(
             _narrow_pixels(pixels, maxval), maxval, config, luma_q, chroma_q
         )
-    tables = HuffmanTables.from_histograms(result)
-    scan = pack_scan(result, tables, config, use_native=use_native)
+        tables = HuffmanTables.from_histograms(result)
+        scan = pack_scan(result, tables, config, use_native=use_native)
     return assemble_jpeg(
         width=int(pixels.shape[1]),
         height=int(pixels.shape[0]),
@@ -245,13 +282,18 @@ def encode_batch(
         # compile budget by construction.
     luma_q, chroma_q = quantization_table_pair(config.quantization_preset, config.quality)
 
-    results: list[DeviceEncodeResult | None] = [None] * len(images)
+    results: list[tuple | None] = [None] * len(images)
     out: list[bytes | None] = [None] * len(images)
 
     def finish(i: int) -> None:
-        result = results[i]
-        tables = HuffmanTables.from_histograms(result)
-        scan = pack_scan(result, tables, config)
+        kind, payload = results[i]
+        if kind == "od":
+            from .onedispatch import finish_one_dispatch
+
+            scan, tables = finish_one_dispatch(payload, config)
+        else:
+            tables = HuffmanTables.from_histograms(payload)
+            scan = pack_scan(payload, tables, config)
         out[i] = assemble_jpeg(
             width=int(images[i].shape[1]),
             height=int(images[i].shape[0]),
@@ -267,10 +309,28 @@ def encode_batch(
         )
         results[i] = None  # release device blocks
 
-    for i, px in enumerate(images):
-        results[i] = run_device_pipeline(
-            _narrow_pixels(px, maxval), maxval, config, luma_q, chroma_q
-        )
+    # Double-buffered uploads: image i+1's host->device transfer is issued
+    # (asynchronously) before image i's host tail runs, so the link and the
+    # host work overlap instead of serializing.
+    dev: list[object | None] = [None] * len(images)
+    dev[0] = jax.device_put(_narrow_pixels(images[0], maxval))
+    for i in range(len(images)):
+        if i + 1 < len(images):
+            dev[i + 1] = jax.device_put(_narrow_pixels(images[i + 1], maxval))
+        h, w = int(images[i].shape[0]), int(images[i].shape[1])
+        if backend == "device" and _use_one_dispatch(config, h, w):
+            from .onedispatch import start_one_dispatch
+
+            results[i] = (
+                "od",
+                start_one_dispatch(dev[i], maxval, config, luma_q, chroma_q),
+            )
+        else:
+            results[i] = (
+                "std",
+                run_device_pipeline(dev[i], maxval, config, luma_q, chroma_q),
+            )
+        dev[i] = None  # release the upload buffer
         if i > 0:
             finish(i - 1)
     finish(len(images) - 1)

@@ -1,0 +1,157 @@
+"""Huffman table construction ON DEVICE: histogram -> code tables in-jit.
+
+The two-dispatch encode synchronizes mid-image: fetch histograms, build
+tables on host (spec.py/package_merge.py/canonical.py), upload code
+tables, dispatch the scan packer. This module re-expresses that host tail
+as static-shape jnp ops (sorts, 15 unrolled package-merge levels, prefix
+sums) so the WHOLE encode — pipeline, tables, scan pack — runs as one jit
+program with no host round trip.
+
+Bit-exactness contract: identical tables to the host path —
+- stable ascending-frequency sort with ties in symbol order
+  (reference: src/...transformer/symbol_counting.rs:92-94),
+- package-merge levels with Leaf < Package on equal frequency and
+  chunks-of-2 merging (src/huffman/length_limited.rs:63-115),
+- the `lengths[0] += 1` all-ones bump (symbol_counting.rs:85-90),
+- canonical codeword assignment shortest-first
+  (src/huffman/encoder.rs:97-119).
+Asserted equal to the host implementation in tests over random and
+fixture-derived histograms.
+
+Scale limit: package values are clamped at INF = 2**28, so per-table
+symbol totals must stay below ~268M (images up to ~16 gigapixels) for the
+tie-breaking to be exact — far beyond any supported frame size.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+LIMIT = 15
+NSYM = 256          # histogram width (DC histograms are padded to 256)
+LEVEL = 2 * NSYM    # a package-merge level holds <= 2n entries
+INF = 1 << 28       # > any real frequency sum; INF+INF clamps back to INF
+
+
+def device_code_tables(hist: jnp.ndarray):
+    """[256] int32 histogram -> per-table code data, all on device.
+
+    Returns dict of:
+      sym_by_leaf  i32 [256]: symbols sorted ascending by (freq, symbol)
+      len_by_leaf  i32 [256]: code lengths per leaf (0 beyond n_present);
+                   leaf 0 = least frequent = longest code (+1 bump applied)
+      n_present    i32 []   : number of symbols with freq > 0
+      codes_flat   i32 [256]: right-aligned codeword per SYMBOL (0 absent)
+      lens_flat    i32 [256]: code length per SYMBOL (0 absent)
+    """
+    syms = jnp.arange(NSYM, dtype=jnp.int32)
+    freq = hist.astype(jnp.int32)
+    present = freq > 0
+    n = jnp.sum(present.astype(jnp.int32))
+
+    # stable ascending sort by frequency; absent symbols pushed to the end
+    key = jnp.where(present, freq, INF)
+    sorted_freq, sorted_sym = jax.lax.sort(
+        (key, syms), dimension=0, is_stable=True, num_keys=1
+    )
+    leaf_rank = jnp.arange(NSYM, dtype=jnp.int32)
+    leaf_valid = leaf_rank < n
+
+    # --- package-merge levels (length_limited.rs:63-115) ----------------
+    # Entries are (value, kind) with kind 0=Leaf, 1=Package; sort key is
+    # value*2 + kind, so Leaf < Package on equal value. INF-padded slots
+    # stay at the tail (clamped adds keep INF absorbing).
+    leaves_v = jnp.concatenate(
+        [jnp.where(leaf_valid, sorted_freq, INF),
+         jnp.full((LEVEL - NSYM,), INF, jnp.int32)]
+    )
+    leaves_k = jnp.zeros((LEVEL,), jnp.int32)
+
+    level_v, level_k = leaves_v, leaves_k
+    kinds = [level_k]
+    for _ in range(1, LIMIT):
+        pair_v = jnp.minimum(
+            level_v[0::2] + level_v[1::2], INF
+        )  # [LEVEL//2] pairwise packages; odd trailing entry pairs INF
+        pair_k = jnp.ones((LEVEL // 2,), jnp.int32)
+        merged_v = jnp.concatenate([pair_v, leaves_v[:NSYM]])
+        merged_k = jnp.concatenate([pair_k, jnp.zeros((NSYM,), jnp.int32)])
+        # stable sort on value*2+kind preserves merged-before-... relative
+        # order within equal groups, matching python sorted(merged+leaves)
+        skey = merged_v * 2 + merged_k
+        _, level_v, level_k = jax.lax.sort(
+            (skey, merged_v, merged_k), dimension=0, is_stable=True, num_keys=1
+        )
+        kinds.append(level_k)
+
+    # --- solution walk (length_limited.rs:75-89) ------------------------
+    idx = jnp.arange(LEVEL, dtype=jnp.int32)
+    p = n - 1  # num_packages; n==1 -> 0 -> all lengths stay 0
+    len_by_leaf = jnp.zeros((NSYM,), jnp.int32)
+    for level_kind in reversed(kinds):
+        taken = idx < 2 * p
+        leaves_taken = jnp.sum(
+            (taken & (level_kind == 0)).astype(jnp.int32)
+        )
+        p = jnp.sum(taken.astype(jnp.int32)) - leaves_taken
+        len_by_leaf = len_by_leaf + (leaf_rank < leaves_taken).astype(jnp.int32)
+
+    # the all-ones bump: longest code (leaf 0) gets +1 when any symbol exists
+    len_by_leaf = len_by_leaf.at[0].add(jnp.where(n > 0, 1, 0))
+    len_by_leaf = jnp.where(leaf_valid, len_by_leaf, 0)
+
+    # --- canonical codes (encoder.rs:97-119) ----------------------------
+    # Walk shortest (leaf n-1) to longest (leaf 0): each step adds
+    # 1 << (16 - prev_len) in MSB-aligned space. In leaf order that is a
+    # reversed exclusive suffix sum of the per-leaf increments.
+    contrib = jnp.where(leaf_valid, 1 << (16 - len_by_leaf), 0)
+    cum = jnp.cumsum(contrib)
+    total = cum[NSYM - 1]
+    pattern = total - cum  # sum over leaves AFTER this one
+    bits = jnp.where(
+        leaf_valid, pattern >> (16 - len_by_leaf), 0
+    )
+
+    codes_flat = jnp.zeros((NSYM,), jnp.int32).at[sorted_sym].set(
+        jnp.where(leaf_valid, bits, 0), mode="drop"
+    )
+    lens_flat = jnp.zeros((NSYM,), jnp.int32).at[sorted_sym].set(
+        len_by_leaf, mode="drop"
+    )
+    return {
+        "sym_by_leaf": sorted_sym,
+        "len_by_leaf": len_by_leaf,
+        "n_present": n,
+        "codes_flat": codes_flat,
+        "lens_flat": lens_flat,
+    }
+
+
+def device_sweep_tables(luma: dict, chroma: dict, k_cap: int):
+    """Compacted present-union sweep arrays for the fused pack kernel.
+
+    Mirrors fused_pack.build_sweep_tables on device: symbols present in
+    either table, in ascending symbol order, padded to k_cap with -1.
+    Returns (syms [k_cap], luma_ent [k_cap], chroma_ent [k_cap], k []).
+    """
+    l_ent = (luma["codes_flat"] << 8) | luma["lens_flat"]
+    c_ent = (chroma["codes_flat"] << 8) | chroma["lens_flat"]
+    present = (luma["lens_flat"] > 0) | (chroma["lens_flat"] > 0)
+    pos = jnp.cumsum(present.astype(jnp.int32)) - 1
+    k = jnp.sum(present.astype(jnp.int32))
+    target = jnp.where(present, pos, k_cap + 1)  # dropped when absent
+    syms = jnp.full((k_cap,), -1, jnp.int32).at[target].set(
+        jnp.arange(NSYM, dtype=jnp.int32), mode="drop"
+    )
+    la = jnp.zeros((k_cap,), jnp.int32).at[target].set(l_ent, mode="drop")
+    ca = jnp.zeros((k_cap,), jnp.int32).at[target].set(c_ent, mode="drop")
+    return syms, la, ca, k
+
+
+def pad_dc_histogram(dc_hist: jnp.ndarray) -> jnp.ndarray:
+    """16-bin DC histogram -> 256-bin (one shared table-build path)."""
+    return jnp.concatenate(
+        [dc_hist.astype(jnp.int32),
+         jnp.zeros((NSYM - dc_hist.shape[0],), jnp.int32)]
+    )

@@ -1,0 +1,224 @@
+"""One-dispatch encode: pixels -> packed scan words in a SINGLE jit program.
+
+The two-dispatch path synchronizes mid-image (fetch histograms, build
+Huffman tables on host, upload them, dispatch the packer — two device
+round trips on the critical path, ~25 ms each over a tunneled link, plus a
+content-dependent recompile whenever the stream-size bucket changes). Here
+the whole encode chain
+
+    normalize -> color -> blockize -> DCT x quant x zigzag -> DPCM ->
+    histograms -> PACKAGE-MERGE + CANONICAL CODES (huffman/device_tables)
+    -> sweep tables -> fused scan pack (bitstream/fused_pack)
+
+is ONE compiled program. The host afterwards makes exactly two fetches:
+a small one (total_bits + the DHT table spec, ~2 KB) and the finished
+word stream slice. The output buffer is sized for the worst case
+(64 words/block), so the executable depends only on image geometry —
+no more per-quality/content bucket recompiles.
+
+Replaces the reference's transform->encode sequencing
+(reference: src/image/writer/jpeg/transformer.rs:188-221 +
+src/image/writer/jpeg/encoder.rs:110-135) with a fully fused device form.
+
+Scale guard: the device table build is exact for per-table symbol totals
+below 2^28 (huffman/device_tables.py); callers route larger images
+through the two-dispatch host-table path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import ChromaSubsamplingPreset, DCTVariant, EncoderConfig
+from .huffman.spec import SymbolCodeLength
+
+K_DC_CAP = 16
+K_AC_CAP = 256
+
+# Worst-case symbol-total bound for exact device table tie-breaking.
+MAX_DEVICE_TABLE_SYMBOLS = 1 << 28
+
+
+@dataclass
+class OneDispatchState:
+    """Async dispatch handle: everything still device-resident."""
+
+    words: jnp.ndarray        # u32 [n_words], byteswapped (memory order)
+    total_bits: jnp.ndarray   # i32 scalar
+    spec_syms: jnp.ndarray    # i32 [4, 256] leaf-order symbols per table
+    spec_lens: jnp.ndarray    # i32 [4, 256] leaf-order code lengths
+    spec_ns: jnp.ndarray      # i32 [4] present counts
+    hists: tuple              # 4 histograms (debug cross-check only)
+    height: int
+    width: int
+
+
+def one_dispatch_supported(height: int, width: int,
+                           preset: ChromaSubsamplingPreset) -> bool:
+    """True when the device table build's exactness bound holds."""
+    from .ops.geometry import padded_size
+
+    ph, pw = padded_size(height, width, preset)
+    luma_blocks = (ph // 8) * (pw // 8)
+    # every luma coefficient could emit a symbol; the AC luma table sees
+    # at most 64 * blocks symbols
+    return luma_blocks * 64 < MAX_DEVICE_TABLE_SYMBOLS
+
+
+@lru_cache(maxsize=32)
+def _compiled_onedispatch(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+):
+    from .bitstream.device_pack import _interleave_scan, byteswap_words
+    from .bitstream.fused_pack import fused_pack_capacity, fused_pack_words
+    from .entropy.categorize import symbol_histograms
+    from .huffman.device_tables import (
+        device_code_tables,
+        device_sweep_tables,
+        pad_dc_histogram,
+    )
+    from .ops.color import rgb_to_ycbcr
+    from .ops.geometry import (
+        entangle_permutation,
+        pad_to_mcu_multiple,
+        padded_size,
+    )
+    from .pipeline import encode_blocks_from_planes
+
+    ph, pw = padded_size(height, width, preset)
+    entangle = entangle_permutation(pw // 8, ph // 8, preset)
+    n_luma = (ph // 8) * (pw // 8)
+    n_chroma = (ph // preset.vertical_rate // 8) * (
+        pw // preset.horizontal_rate // 8
+    )
+    lpm = preset.luma_blocks_per_mcu
+    stride = lpm + 2
+    n_blocks = n_luma + 2 * n_chroma
+    n_words = fused_pack_capacity(n_blocks * 64 + 2)  # worst case: static
+
+    def program(rgb_u16, maxval, luma_q, chroma_q):
+        rgb = rgb_u16.astype(jnp.float32) / maxval
+        rgb = pad_to_mcu_multiple(rgb, preset)
+        y, cb, cr = rgb_to_ycbcr(rgb)
+        luma_zz, cb_zz, cr_zz = encode_blocks_from_planes(
+            y, cb, cr, luma_q, chroma_q, preset, variant, entangle
+        )
+        l_dc, l_ac = symbol_histograms(luma_zz)
+        cb_dc, cb_ac = symbol_histograms(cb_zz)
+        cr_dc, cr_ac = symbol_histograms(cr_zz)
+        c_dc = cb_dc + cr_dc
+        c_ac = cb_ac + cr_ac
+
+        t_ldc = device_code_tables(pad_dc_histogram(l_dc))
+        t_lac = device_code_tables(l_ac.astype(jnp.int32))
+        t_cdc = device_code_tables(pad_dc_histogram(c_dc))
+        t_cac = device_code_tables(c_ac.astype(jnp.int32))
+
+        dc_s, dc_la, dc_ca, k_dc = device_sweep_tables(t_ldc, t_cdc, K_DC_CAP)
+        ac_s, ac_la, ac_ca, k_ac = device_sweep_tables(t_lac, t_cac, K_AC_CAP)
+        l_ent = (t_lac["codes_flat"] << 8) | t_lac["lens_flat"]
+        c_ent = (t_cac["codes_flat"] << 8) | t_cac["lens_flat"]
+        misc = jnp.stack([l_ent[0xF0], c_ent[0xF0], l_ent[0x00], c_ent[0x00]])
+
+        scan = _interleave_scan(luma_zz, cb_zz, cr_zz, n_chroma, lpm)
+        words, total_bits = fused_pack_words(
+            scan, stride, lpm,
+            (dc_s, dc_la, dc_ca, ac_s, ac_la, ac_ca, misc),
+            n_words,
+            k_dyn=jnp.stack([k_dc, k_ac]),
+        )
+        spec_syms = jnp.stack(
+            [t["sym_by_leaf"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
+        )
+        spec_lens = jnp.stack(
+            [t["len_by_leaf"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
+        )
+        spec_ns = jnp.stack(
+            [t["n_present"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
+        )
+        return (
+            byteswap_words(words), total_bits, spec_syms, spec_lens, spec_ns,
+            l_dc, l_ac, c_dc, c_ac,
+        )
+
+    return jax.jit(program)
+
+
+def start_one_dispatch(
+    pixels: np.ndarray,
+    maxval: int,
+    config: EncoderConfig,
+    luma_q: np.ndarray,
+    chroma_q: np.ndarray,
+) -> OneDispatchState:
+    """Dispatch the full encode program (asynchronous)."""
+    height, width = int(pixels.shape[0]), int(pixels.shape[1])
+    fn = _compiled_onedispatch(
+        height, width, config.chroma_subsampling, config.dct_variant
+    )
+    out = fn(
+        jnp.asarray(pixels),
+        jnp.float32(maxval),
+        jnp.asarray(luma_q),
+        jnp.asarray(chroma_q),
+    )
+    return OneDispatchState(
+        words=out[0], total_bits=out[1], spec_syms=out[2], spec_lens=out[3],
+        spec_ns=out[4], hists=out[5:9], height=height, width=width,
+    )
+
+
+def finish_one_dispatch(state: OneDispatchState, config: EncoderConfig):
+    """Synchronize: fetch the table spec + bits (small), then the words.
+
+    Returns (scan_bytes, HuffmanTables)."""
+    from .bitstream.device_pack import (
+        _check_bits_enabled,
+        exact_scan_bits,
+        finalize_scan_bytes,
+    )
+    from .encoder import HuffmanTables
+    from .huffman.canonical import flat_code_arrays
+
+    total_bits, spec_syms, spec_lens, spec_ns = jax.device_get(
+        (state.total_bits, state.spec_syms, state.spec_lens, state.spec_ns)
+    )
+    lists = []
+    for t in range(4):
+        n = int(spec_ns[t])
+        lists.append(
+            [
+                SymbolCodeLength(int(spec_syms[t, i]), int(spec_lens[t, i]))
+                for i in range(n)
+            ]
+        )
+    tables = HuffmanTables(
+        luma_dc=lists[0], luma_ac=lists[1], chroma_dc=lists[2],
+        chroma_ac=lists[3],
+    )
+    nbits = int(total_bits)
+    if _check_bits_enabled():
+        hists = jax.device_get(state.hists)
+        predicted = exact_scan_bits(
+            hists,
+            flat_code_arrays(tables.luma_dc),
+            flat_code_arrays(tables.luma_ac),
+            flat_code_arrays(tables.chroma_dc),
+            flat_code_arrays(tables.chroma_ac),
+        )
+        if predicted != nbits:
+            raise AssertionError(
+                f"one-dispatch packed {nbits} bits but histograms x device "
+                f"tables predict {predicted}"
+            )
+    needed = (nbits + 31) // 32
+    host_words = jax.device_get(state.words[:needed])
+    return finalize_scan_bytes(host_words, nbits), tables

@@ -1,0 +1,69 @@
+"""One-dispatch encode (device tables + fused pack in one program) must be
+byte-identical to the two-dispatch host-table path."""
+
+import numpy as np
+import pytest
+
+from dmmt_jpeg_encoder_tpu.config import ChromaSubsamplingPreset, EncoderConfig
+from dmmt_jpeg_encoder_tpu.encoder import encode_array, encode_batch
+
+
+@pytest.fixture
+def interpret(monkeypatch):
+    monkeypatch.setenv("DMMT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("DMMT_CHECK_BITS", "1")
+
+
+def _image(rng, h, w):
+    base = rng.normal(120, 45, (h, w)).clip(0, 255)
+    return (
+        np.stack([base, base * 0.9 + 8, base * 1.07 - 4], axis=-1)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+@pytest.mark.parametrize("preset", list(ChromaSubsamplingPreset))
+def test_one_dispatch_bytes_match_host(rng, interpret, preset):
+    px = _image(rng, 48, 64)
+    od = encode_array(
+        px, 255, EncoderConfig(chroma_subsampling=preset, scan_backend="device")
+    )
+    host = encode_array(
+        px, 255, EncoderConfig(chroma_subsampling=preset, scan_backend="host")
+    )
+    assert od == host
+
+
+def test_one_dispatch_odd_size_and_quality(rng, interpret):
+    px = _image(rng, 37, 53)  # padding exercised
+    cfg = EncoderConfig(
+        chroma_subsampling=ChromaSubsamplingPreset.P420,
+        scan_backend="device",
+        quality=85,
+    )
+    host = EncoderConfig(
+        chroma_subsampling=ChromaSubsamplingPreset.P420,
+        scan_backend="host",
+        quality=85,
+    )
+    assert encode_array(px, 255, cfg) == encode_array(px, 255, host)
+
+
+def test_one_dispatch_off_flag(rng, interpret):
+    px = _image(rng, 32, 32)
+    on = encode_array(
+        px, 255, EncoderConfig(scan_backend="device")
+    )
+    off = encode_array(
+        px, 255, EncoderConfig(scan_backend="device", one_dispatch="off")
+    )
+    assert on == off
+
+
+def test_one_dispatch_batch_pipeline(rng, interpret):
+    images = [_image(rng, 32, 48) for _ in range(3)]
+    cfg = EncoderConfig(scan_backend="device")
+    batched = encode_batch(images, 255, cfg)
+    singles = [encode_array(px, 255, cfg) for px in images]
+    assert batched == singles
