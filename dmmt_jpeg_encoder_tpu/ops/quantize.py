@@ -3,15 +3,26 @@
 Matches the reference quantizer's math (reference:
 src/image/writer/jpeg/transformer/quantizer.rs:53-63): divide each raster-
 order coefficient by its table entry, round HALF AWAY FROM ZERO (Rust
-f32::round, not the f32 default round-half-even), cast to i16. The zigzag
-reorder (frequency_block.rs:1-6) is a constant gather fused by XLA.
+f32::round, not the f32 default round-half-even), cast to i16.
+
+The zigzag reorder (frequency_block.rs:1-6) is applied as a PERMUTATION
+MATMUL on the MXU, not a gather: gathers serialize element-by-element on
+TPU (~8-10 ns each — tens of ms per 4K image), while [N,64] @ P64 runs at
+matmul speed. One-hot matrix x f32 values at HIGHEST precision is exact
+(each output sums exactly one 1.0*x product).
 """
 
 from __future__ import annotations
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..tables import ZIGZAG
+
+# P[i, j] = 1 iff zigzag position j reads raster position i.
+_ZZ_PERM = np.zeros((64, 64), dtype=np.float32)
+_ZZ_PERM[np.asarray(ZIGZAG), np.arange(64)] = 1.0
 
 
 def round_half_away_from_zero(x: jnp.ndarray) -> jnp.ndarray:
@@ -24,5 +35,10 @@ def quantize_zigzag(coeffs: jnp.ndarray, qtable_raster: jnp.ndarray) -> jnp.ndar
     n = coeffs.shape[0]
     flat = coeffs.reshape(n, 64)
     scaled = flat / qtable_raster.astype(jnp.float32)
-    rounded = round_half_away_from_zero(scaled).astype(jnp.int16)
-    return rounded[:, ZIGZAG]
+    zz = jnp.dot(
+        scaled,
+        jnp.asarray(_ZZ_PERM),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return round_half_away_from_zero(zz).astype(jnp.int16)
