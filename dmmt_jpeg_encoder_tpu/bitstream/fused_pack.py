@@ -303,14 +303,10 @@ def _place_fragment(emis, shift, t_rows):
         (eob_code, eob_len, eob_off), _ = emis
     lane_f = _lane_iota(t_rows, FRAG_WORDS)
 
-    # The 136 masked ORs would otherwise form one serial dependency chain;
-    # round-robin them over 8 independent accumulators and tree-OR at the
-    # end, so the VPU can overlap ~8 ORs at a time.
-    parts = [jnp.zeros((t_rows, FRAG_WORDS), _U32) for _ in range(8)]
+    frag = jnp.zeros((t_rows, FRAG_WORDS), _U32)
     zero_u = jnp.zeros((), _U32)
-    slot_counter = [0]
 
-    def add(val, ln, off):
+    def add(frag, val, ln, off):
         # val/ln/off: [T, 1] or [T, 63]; place each column. Mosaic lacks
         # i32<->u32 value casts; everything here is non-negative, so
         # bitcasts are value-preserving.
@@ -332,20 +328,16 @@ def _place_fragment(emis, shift, t_rows):
         o = off >> 5
         for e in range(val.shape[1]):
             oe = o[:, e : e + 1]
-            i = slot_counter[0] & 7
-            j = (slot_counter[0] + 1) & 7
-            slot_counter[0] += 2
-            parts[i] = parts[i] | jnp.where(lane_f == oe, c0[:, e : e + 1], zero_u)
-            parts[j] = parts[j] | jnp.where(lane_f == oe + 1, c1[:, e : e + 1], zero_u)
+            frag = frag | jnp.where(lane_f == oe, c0[:, e : e + 1], zero_u)
+            frag = frag | jnp.where(lane_f == oe + 1, c1[:, e : e + 1], zero_u)
+        return frag
 
-    add(dc_val, dc_len, jnp.zeros_like(dc_len))
-    add(ac_val, ac_len, ac_off)
+    frag = add(frag, dc_val, dc_len, jnp.zeros_like(dc_len))
+    frag = add(frag, ac_val, ac_len, ac_off)
     for code, ln, off in zrl_slots:
-        add(code * jnp.ones_like(ln), ln, off)
-    add(eob_code * jnp.ones_like(eob_len), eob_len, eob_off)
-    while len(parts) > 1:
-        parts = [parts[i] | parts[i + 1] for i in range(0, len(parts), 2)]
-    return parts[0]
+        frag = add(frag, code * jnp.ones_like(ln), ln, off)
+    frag = add(frag, eob_code * jnp.ones_like(eob_len), eob_len, eob_off)
+    return frag
 
 
 def _merge_halves(frag, q_rel, t_rows):
