@@ -84,7 +84,17 @@ def symbol_histograms(
     `block_mask` (bool [N]) excludes blocks from the counts — the sharded
     pipeline uses it to ignore alignment-padding blocks that exist only to
     make the MCU-row count divisible by the shard count."""
-    from ..ops.pallas_histogram import pallas_histogram
+    import os
+
+    from ..ops.pallas_histogram import matmul_histogram, pallas_histogram
+
+    # MXU nibble-matmul histogram by default; DMMT_HIST=pallas selects the
+    # 256-bin masked-reduce sweep kernel instead.
+    hist = (
+        pallas_histogram
+        if os.environ.get("DMMT_HIST") == "pallas"
+        else matmul_histogram
+    )
 
     weight = (
         jnp.ones((coeffs_zz.shape[0],), jnp.int32)
@@ -92,10 +102,10 @@ def symbol_histograms(
         else block_mask.astype(jnp.int32)
     )
     dc_cat = magnitude_category(coeffs_zz[:, 0])
-    dc_hist = pallas_histogram(dc_cat, weight.astype(jnp.float32), 16)
+    dc_hist = hist(dc_cat, weight.astype(jnp.float32), 16)
 
     symbols, nz, zrl, eob = ac_symbols_and_structure(coeffs_zz)
-    ac_hist = pallas_histogram(
+    ac_hist = hist(
         symbols,
         (nz & (weight[:, None] > 0)).astype(jnp.float32),
         256,

@@ -97,12 +97,19 @@ def idct2d(coeffs: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bnm,mk->bnk", tmp, c, precision=jax.lax.Precision.HIGHEST)
 
 
-def _arai_pass(x: jnp.ndarray) -> jnp.ndarray:
-    """One 8-point AAN pass along the LAST axis, vectorized over all leading
+def _arai_pass(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """One 8-point AAN pass along `axis` (size 8), vectorized over all other
     axes. Dataflow graph and f32 op order follow
-    src/cosine_transform/arai.rs:29-95."""
-    v00, v01, v02, v03 = x[..., 0], x[..., 1], x[..., 2], x[..., 3]
-    v04, v05, v06, v07 = x[..., 4], x[..., 5], x[..., 6], x[..., 7]
+    src/cosine_transform/arai.rs:29-95; f32 elementwise ops are bit-exact
+    regardless of which axis carries the 8 points, so the plane-layout
+    pipeline reuses this on non-minor axes without transposing."""
+    import jax.lax as lax
+
+    def pick(i):
+        return lax.index_in_dim(x, i, axis=axis, keepdims=False)
+
+    v00, v01, v02, v03 = pick(0), pick(1), pick(2), pick(3)
+    v04, v05, v06, v07 = pick(4), pick(5), pick(6), pick(7)
 
     v10 = v00 + v07
     v11 = v01 + v06
@@ -151,7 +158,7 @@ def _arai_pass(x: jnp.ndarray) -> jnp.ndarray:
             v53 * _S[6],
             v66 * _S[7],
         ],
-        axis=-1,
+        axis=axis if axis >= 0 else x.ndim + axis,
     )
 
 

@@ -50,6 +50,43 @@ def _hist_kernel(sym_ref, weight_ref, out_ref):
     ).astype(jnp.int32)
 
 
+def matmul_histogram(
+    symbols: jnp.ndarray, weights: jnp.ndarray, n_bins: int
+) -> jnp.ndarray:
+    """Histogram as an MXU contraction of nibble one-hots.
+
+    counts[hi, lo] = sum_i w_i * (sym_i>>4 == hi) * (sym_i&15 == lo)
+                   = (W*Hhi)^T @ Hlo
+
+    Building the two one-hot factors costs 16+16 compares per element
+    (vs n_bins compares for a masked-reduce sweep) and the contraction
+    runs on the MXU. Exact: products are 0/1 * weight, per-bin sums stay
+    far below 2^24, and 0/1/weight-integers are exact in bf16, so even
+    DEFAULT-precision passes cannot round. ~6x less VPU work than the
+    256-bin sweep kernel for AC histograms.
+    """
+    flat_s = symbols.reshape(-1).astype(jnp.int32)
+    flat_w = weights.reshape(-1).astype(jnp.float32)
+    if n_bins <= 16:
+        oh = (
+            flat_s[:, None] == jnp.arange(n_bins, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)
+        counts = jnp.einsum(
+            "i,ib->b", flat_w, oh, preferred_element_type=jnp.float32
+        )
+        return counts.astype(jnp.int32)
+    assert n_bins == 256
+    hi = flat_s >> 4
+    lo = flat_s & 15
+    bins16 = jnp.arange(16, dtype=jnp.int32)[None, :]
+    h_hi = (hi[:, None] == bins16).astype(jnp.float32) * flat_w[:, None]
+    h_lo = (lo[:, None] == bins16).astype(jnp.float32)
+    counts = jnp.einsum(
+        "ih,il->hl", h_hi, h_lo, preferred_element_type=jnp.float32
+    )
+    return counts.reshape(256).astype(jnp.int32)
+
+
 def pallas_histogram(
     symbols: jnp.ndarray, weights: jnp.ndarray, n_bins: int
 ) -> jnp.ndarray:

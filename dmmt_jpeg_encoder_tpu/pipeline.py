@@ -54,6 +54,86 @@ class DeviceEncodeResult:
     chroma_ac_hist: np.ndarray  # int32 [256]
 
 
+def _plane_mode() -> str:
+    """Phase-1 layout strategy for the ARAI path (DMMT_P1 env):
+
+    - "plane" (default): run the Arai passes directly on PLANE layout —
+      the 8-point axes come from FREE reshapes ([H,W] -> [H,B,8] and
+      [A,8,B,8]), so the expensive f32 [N,8,8] blockize transpose never
+      happens; only quantized int16 coefficients get shuffled, once.
+    - "plane_mm": same, but the (v,u) interleave + zigzag are folded into
+      exact MXU matmuls (identity/permutation one-hots at HIGHEST) before
+      rounding, removing the int16 transpose too.
+    - "block": the original blockize-first path.
+    All three produce bit-identical blocks (f32 elementwise ops don't
+    depend on vectorization layout; the matmuls are exact one-hots).
+    """
+    import os
+
+    return os.environ.get("DMMT_P1", "plane")
+
+
+# P_UV[u*8+v, j] = 1 iff zigzag position j reads raster (v, u) — the
+# zigzag permutation re-based onto u-major flattening (what the plane_mm
+# transpose-by-matmul produces).
+def _zz_perm_uv() -> np.ndarray:
+    from .tables import ZIGZAG
+
+    p = np.zeros((64, 64), dtype=np.float32)
+    for j in range(64):
+        rast = int(ZIGZAG[j])
+        v, u = rast // 8, rast % 8
+        p[u * 8 + v, j] = 1.0
+    return p
+
+
+_P_UV = None
+
+
+def _plane_dct_zigzag_blocks(
+    plane: jnp.ndarray,
+    qtable: jnp.ndarray,
+    entangle_quads: bool,
+    mode: str,
+) -> jnp.ndarray:
+    """[H, W] f32 plane -> int16 [N, 64] zigzag blocks, Arai bit-exact."""
+    global _P_UV
+    from .ops.dct import _arai_pass
+    from .ops.quantize import round_half_away_from_zero
+    from .tables import ZIGZAG
+
+    hh, ww = plane.shape
+    a, b = hh // 8, ww // 8
+    r = _arai_pass(plane.reshape(hh, b, 8), axis=-1)   # rows: along x
+    r = r.reshape(a, 8, b, 8)                          # [A, 8y, B, 8u] free
+    c = _arai_pass(r, axis=1)                          # cols: [A, 8v, B, 8u]
+    qv = qtable.astype(jnp.float32).reshape(8, 8)
+    scaled = c / qv[None, :, None, :]
+
+    if mode == "plane_mm":
+        if _P_UV is None:
+            _P_UV = _zz_perm_uv()
+        eye = jnp.eye(8, dtype=jnp.float32)
+        t = jnp.einsum(
+            "avbu,vw->abuw", scaled, eye,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                              # [A, B, 8u, 8v]
+        zz = jnp.dot(
+            t.reshape(-1, 64), jnp.asarray(_P_UV),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        out = round_half_away_from_zero(zz).astype(jnp.int16).reshape(a, b, 64)
+    else:
+        rounded = round_half_away_from_zero(scaled).astype(jnp.int16)
+        blk = rounded.transpose(0, 2, 1, 3).reshape(-1, 64)  # raster 64
+        out = blk[:, ZIGZAG].reshape(a, b, 64)
+
+    if entangle_quads:
+        out = out.reshape(a // 2, 2, b // 2, 2, 64).transpose(0, 2, 1, 3, 4)
+    return out.reshape(-1, 64)
+
+
 def encode_blocks_from_planes(
     y: jnp.ndarray,
     cb: jnp.ndarray,
@@ -68,24 +148,36 @@ def encode_blocks_from_planes(
 
     Factored out so the sharded (shard_map) pipeline can reuse it per shard.
     """
-    if entangle is not None:
-        # P420: straight to MCU-quad order via reshape/transpose (no gather)
-        luma_blocks = entangled_blockize_p420(y)
+    mode = _plane_mode()
+    if variant is DCTVariant.ARAI and mode in ("plane", "plane_mm"):
+        luma_zz = _plane_dct_zigzag_blocks(
+            y, luma_q, entangle is not None, mode
+        )
+        cb_zz = _plane_dct_zigzag_blocks(
+            subsample(cb, preset), chroma_q, False, mode
+        )
+        cr_zz = _plane_dct_zigzag_blocks(
+            subsample(cr, preset), chroma_q, False, mode
+        )
     else:
-        luma_blocks = blockize(y)
-    cb_blocks = blockize(subsample(cb, preset))
-    cr_blocks = blockize(subsample(cr, preset))
+        if entangle is not None:
+            # P420: straight to MCU-quad order via reshape/transpose
+            luma_blocks = entangled_blockize_p420(y)
+        else:
+            luma_blocks = blockize(y)
+        cb_blocks = blockize(subsample(cb, preset))
+        cr_blocks = blockize(subsample(cr, preset))
 
-    if variant is DCTVariant.FUSED:
-        from .ops.fused import fused_dct_quantize_zigzag
+        if variant is DCTVariant.FUSED:
+            from .ops.fused import fused_dct_quantize_zigzag
 
-        luma_zz = fused_dct_quantize_zigzag(luma_blocks, luma_q)
-        cb_zz = fused_dct_quantize_zigzag(cb_blocks, chroma_q)
-        cr_zz = fused_dct_quantize_zigzag(cr_blocks, chroma_q)
-    else:
-        luma_zz = quantize_zigzag(dct2d(luma_blocks, variant), luma_q)
-        cb_zz = quantize_zigzag(dct2d(cb_blocks, variant), chroma_q)
-        cr_zz = quantize_zigzag(dct2d(cr_blocks, variant), chroma_q)
+            luma_zz = fused_dct_quantize_zigzag(luma_blocks, luma_q)
+            cb_zz = fused_dct_quantize_zigzag(cb_blocks, chroma_q)
+            cr_zz = fused_dct_quantize_zigzag(cr_blocks, chroma_q)
+        else:
+            luma_zz = quantize_zigzag(dct2d(luma_blocks, variant), luma_q)
+            cb_zz = quantize_zigzag(dct2d(cb_blocks, variant), chroma_q)
+            cr_zz = quantize_zigzag(dct2d(cr_blocks, variant), chroma_q)
 
     luma_zz = luma_zz.at[:, 0].set(dc_dpcm(luma_zz[:, 0]))
     cb_zz = cb_zz.at[:, 0].set(dc_dpcm(cb_zz[:, 0]))

@@ -68,3 +68,35 @@ def test_parseval_energy_preserved(rng):
             (np.asarray(blocks)[i] ** 2).sum(),
             rtol=1e-4,
         )
+
+
+def test_plane_modes_bit_identical(monkeypatch):
+    """All DMMT_P1 layout strategies must produce identical zigzag blocks."""
+    import numpy as np
+    from dmmt_jpeg_encoder_tpu.config import ChromaSubsamplingPreset, DCTVariant
+    from dmmt_jpeg_encoder_tpu import pipeline as pl
+    from dmmt_jpeg_encoder_tpu.ops.geometry import entangle_permutation
+    from dmmt_jpeg_encoder_tpu.tables import quantization_table_pair
+    from dmmt_jpeg_encoder_tpu.config import QuantizationTablePreset
+
+    rng = np.random.default_rng(3)
+    h, w = 64, 96
+    y = jnp.asarray(rng.normal(0, 60, (h, w)).astype(np.float32))
+    cb = jnp.asarray(rng.normal(0, 30, (h, w)).astype(np.float32))
+    cr = jnp.asarray(rng.normal(0, 30, (h, w)).astype(np.float32))
+    lq, cq = quantization_table_pair(QuantizationTablePreset.SPECIFICATION)
+    outs = {}
+    for preset in ChromaSubsamplingPreset:
+        ent = entangle_permutation(w // 8, h // 8, preset)
+        for mode in ("block", "plane", "plane_mm"):
+            monkeypatch.setenv("DMMT_P1", mode)
+            outs[mode] = [
+                np.asarray(x)
+                for x in pl.encode_blocks_from_planes(
+                    y, cb, cr, jnp.asarray(lq), jnp.asarray(cq),
+                    preset, DCTVariant.ARAI, ent,
+                )
+            ]
+        for mode in ("plane", "plane_mm"):
+            for got, want in zip(outs[mode], outs["block"]):
+                np.testing.assert_array_equal(got, want)

@@ -68,3 +68,21 @@ def test_lookup_values_above_f32_int_range_rejected_by_contract():
     lens = np.full(256, 16, np.uint32)
     comb = combine_tables(codes, lens)
     assert int(comb.max()) < (1 << 24)
+
+
+def test_matmul_histogram_matches_scatter(rng):
+    from dmmt_jpeg_encoder_tpu.ops.pallas_histogram import matmul_histogram
+
+    syms = rng.integers(0, 256, 40_000).astype(np.int32)
+    w = (rng.random(40_000) < 0.8).astype(np.float32)
+    got = np.asarray(matmul_histogram(jnp.asarray(syms), jnp.asarray(w), 256))
+    want = np.zeros(256, np.int64)
+    np.add.at(want, syms, w.astype(np.int64))
+    np.testing.assert_array_equal(got, want)
+    # 16-bin path
+    syms16 = rng.integers(0, 16, 9_000).astype(np.int32)
+    got16 = np.asarray(
+        matmul_histogram(jnp.asarray(syms16), jnp.ones(9_000, np.float32), 16)
+    )
+    want16 = np.bincount(syms16, minlength=16)
+    np.testing.assert_array_equal(got16, want16)
