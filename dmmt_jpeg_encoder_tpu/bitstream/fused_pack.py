@@ -365,15 +365,18 @@ def _merge_halves(frag, q_rel, t_rows):
     m = jnp.where(sub == r_lane, 1.0, 0.0).astype(jnp.float32)  # [R_MM, T]
 
     # byte-plane matmuls: per-byte sums < 256 (bit-disjoint stream), so
-    # single-pass bf16 MXU passes are exact. Mosaic has no u32<->f32
-    # casts; the byte planes are small non-negative ints, so bitcast
-    # through i32 is value-preserving.
+    # bf16 operands are exact (integers <= 256 and the 0/1 selector fit
+    # bf16's 8 significand bits) and the MXU runs a guaranteed single
+    # pass; accumulation is f32. Mosaic has no u32<->f32 casts; the byte
+    # planes are small non-negative ints, so bitcast through i32 is
+    # value-preserving.
+    m_bf = m.astype(jnp.bfloat16)
     ur = rolled
     out = jnp.zeros((R_MM, FRAG_WIDE), _U32)
     for b in range(4):
         plane_i = lax.bitcast_convert_type((ur >> (8 * b)) & 0xFF, _I32)
-        plane = plane_i.astype(jnp.float32)
-        acc = jnp.dot(m, plane, preferred_element_type=jnp.float32)
+        plane = plane_i.astype(jnp.float32).astype(jnp.bfloat16)
+        acc = jnp.dot(m_bf, plane, preferred_element_type=jnp.float32)
         acc_u = lax.bitcast_convert_type(acc.astype(_I32), _U32)
         out = out | (acc_u << (8 * b))
     return out

@@ -176,8 +176,17 @@ def start_one_dispatch(
     )
 
 
+# Previous stream sizes by image geometry: lets finish_one_dispatch fetch
+# the word slice TOGETHER with the table spec in one device round trip
+# (speculatively sized ~20% above the last stream for the same geometry)
+# instead of paying a second round trip after learning total_bits.
+_LAST_BITS: dict[tuple, int] = {}
+
+
 def finish_one_dispatch(state: OneDispatchState, config: EncoderConfig):
-    """Synchronize: fetch the table spec + bits (small), then the words.
+    """Synchronize: one speculative fetch (table spec + bits + a word
+    slice sized from the previous encode); a second fetch only when the
+    stream grew past the speculation.
 
     Returns (scan_bytes, HuffmanTables)."""
     from .bitstream.device_pack import (
@@ -188,9 +197,24 @@ def finish_one_dispatch(state: OneDispatchState, config: EncoderConfig):
     from .encoder import HuffmanTables
     from .huffman.canonical import flat_code_arrays
 
-    total_bits, spec_syms, spec_lens, spec_ns = jax.device_get(
-        (state.total_bits, state.spec_syms, state.spec_lens, state.spec_ns)
-    )
+    geom_key = (state.height, state.width, config.chroma_subsampling,
+                config.quality, config.quantization_preset)
+    last_bits = _LAST_BITS.get(geom_key)
+    spec_words = None
+    if last_bits is not None:
+        guess = min(
+            int(state.words.shape[0]),
+            ((last_bits + last_bits // 5) + 31) // 32 + 8,
+        )
+        total_bits, spec_syms, spec_lens, spec_ns, spec_words = jax.device_get(
+            (state.total_bits, state.spec_syms, state.spec_lens,
+             state.spec_ns, state.words[:guess])
+        )
+    else:
+        total_bits, spec_syms, spec_lens, spec_ns = jax.device_get(
+            (state.total_bits, state.spec_syms, state.spec_lens,
+             state.spec_ns)
+        )
     lists = []
     for t in range(4):
         n = int(spec_ns[t])
@@ -219,6 +243,13 @@ def finish_one_dispatch(state: OneDispatchState, config: EncoderConfig):
                 f"one-dispatch packed {nbits} bits but histograms x device "
                 f"tables predict {predicted}"
             )
+    _LAST_BITS[geom_key] = nbits
     needed = (nbits + 31) // 32
-    host_words = jax.device_get(state.words[:needed])
+    if spec_words is not None and len(spec_words) >= needed:
+        host_words = spec_words[:needed]
+    elif spec_words is not None:
+        tail = jax.device_get(state.words[len(spec_words) : needed])
+        host_words = np.concatenate([spec_words, tail])
+    else:
+        host_words = jax.device_get(state.words[:needed])
     return finalize_scan_bytes(host_words, nbits), tables
