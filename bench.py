@@ -93,23 +93,36 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    # Device-only throughput: pixels pre-uploaded, full pipeline + tables +
-    # scan pack, excluding the host->device transfer the tunnel dominates.
-    # This is the kernel-progress metric (VERDICT r1): the same program on
+    # Device-only throughput: pixels pre-uploaded, the full one-dispatch
+    # encode (pipeline + device Huffman tables + fused scan pack in one
+    # jit program), B dispatches in flight so per-image fetch round trips
+    # overlap device compute — the kernel-progress metric (VERDICT r1);
     # a production host is compute-bound at this rate.
+    from dmmt_jpeg_encoder_tpu.onedispatch import (
+        finish_one_dispatch,
+        start_one_dispatch,
+    )
+
     dev_px = jax.device_put(pixels)
     jax.block_until_ready(dev_px)
+    bdev = 4
+    finish_one_dispatch(
+        start_one_dispatch(dev_px, 255, config, luma_q, chroma_q), config
+    )  # warm the speculative-fetch size cache
     t_dev = []
     for _ in range(args.rounds):
         t0 = time.perf_counter()
-        res = run_device_pipeline(dev_px, 255, config, luma_q, chroma_q)
-        tab = HuffmanTables.from_histograms(res)
-        pack_scan(res, tab, config)
-        t_dev.append(time.perf_counter() - t0)
+        states = [
+            start_one_dispatch(dev_px, 255, config, luma_q, chroma_q)
+            for _ in range(bdev)
+        ]
+        for st in states:
+            finish_one_dispatch(st, config)
+        t_dev.append((time.perf_counter() - t0) / bdev)
     dev_best = min(t_dev)
     print(
-        f"device-only (pre-uploaded) e2e: best {dev_best*1e3:.1f} ms "
-        f"({mpix/dev_best:.1f} Mpix/s)",
+        f"device-only (pre-uploaded, one-dispatch x{bdev}): "
+        f"best {dev_best*1e3:.1f} ms/image ({mpix/dev_best:.1f} Mpix/s)",
         file=sys.stderr,
     )
     print(

@@ -34,29 +34,34 @@ LEVEL = 2 * NSYM    # a package-merge level holds <= 2n entries
 INF = 1 << 28       # > any real frequency sum; INF+INF clamps back to INF
 
 
-def device_code_tables(hist: jnp.ndarray):
-    """[256] int32 histogram -> per-table code data, all on device.
+def device_code_tables_batched(hists: jnp.ndarray):
+    """[G, 256] int32 histograms -> per-table code data, all on device.
+
+    All G tables go through ONE stream of batched sorts (lax.sort along
+    dimension 1) — the encode needs 4 tables, and 15 package-merge levels
+    x 4 separate tiny sorts would be issue-overhead-bound on TPU.
 
     Returns dict of:
-      sym_by_leaf  i32 [256]: symbols sorted ascending by (freq, symbol)
-      len_by_leaf  i32 [256]: code lengths per leaf (0 beyond n_present);
+      sym_by_leaf  i32 [G, 256]: symbols sorted ascending by (freq, symbol)
+      len_by_leaf  i32 [G, 256]: code lengths per leaf (0 beyond n_present);
                    leaf 0 = least frequent = longest code (+1 bump applied)
-      n_present    i32 []   : number of symbols with freq > 0
-      codes_flat   i32 [256]: right-aligned codeword per SYMBOL (0 absent)
-      lens_flat    i32 [256]: code length per SYMBOL (0 absent)
+      n_present    i32 [G]  : number of symbols with freq > 0
+      codes_flat   i32 [G, 256]: right-aligned codeword per SYMBOL (0 absent)
+      lens_flat    i32 [G, 256]: code length per SYMBOL (0 absent)
     """
-    syms = jnp.arange(NSYM, dtype=jnp.int32)
-    freq = hist.astype(jnp.int32)
+    g = hists.shape[0]
+    syms = jnp.broadcast_to(jnp.arange(NSYM, dtype=jnp.int32), (g, NSYM))
+    freq = hists.astype(jnp.int32)
     present = freq > 0
-    n = jnp.sum(present.astype(jnp.int32))
+    n = jnp.sum(present.astype(jnp.int32), axis=1)  # [G]
 
     # stable ascending sort by frequency; absent symbols pushed to the end
     key = jnp.where(present, freq, INF)
     sorted_freq, sorted_sym = jax.lax.sort(
-        (key, syms), dimension=0, is_stable=True, num_keys=1
+        (key, syms), dimension=1, is_stable=True, num_keys=1
     )
-    leaf_rank = jnp.arange(NSYM, dtype=jnp.int32)
-    leaf_valid = leaf_rank < n
+    leaf_rank = jnp.broadcast_to(jnp.arange(NSYM, dtype=jnp.int32), (g, NSYM))
+    leaf_valid = leaf_rank < n[:, None]
 
     # --- package-merge levels (length_limited.rs:63-115) ----------------
     # Entries are (value, kind) with kind 0=Leaf, 1=Package; sort key is
@@ -64,41 +69,45 @@ def device_code_tables(hist: jnp.ndarray):
     # stay at the tail (clamped adds keep INF absorbing).
     leaves_v = jnp.concatenate(
         [jnp.where(leaf_valid, sorted_freq, INF),
-         jnp.full((LEVEL - NSYM,), INF, jnp.int32)]
+         jnp.full((g, LEVEL - NSYM), INF, jnp.int32)], axis=1
     )
-    leaves_k = jnp.zeros((LEVEL,), jnp.int32)
 
-    level_v, level_k = leaves_v, leaves_k
+    level_v = leaves_v
+    level_k = jnp.zeros((g, LEVEL), jnp.int32)
     kinds = [level_k]
     for _ in range(1, LIMIT):
         pair_v = jnp.minimum(
-            level_v[0::2] + level_v[1::2], INF
-        )  # [LEVEL//2] pairwise packages; odd trailing entry pairs INF
-        pair_k = jnp.ones((LEVEL // 2,), jnp.int32)
-        merged_v = jnp.concatenate([pair_v, leaves_v[:NSYM]])
-        merged_k = jnp.concatenate([pair_k, jnp.zeros((NSYM,), jnp.int32)])
-        # stable sort on value*2+kind preserves merged-before-... relative
-        # order within equal groups, matching python sorted(merged+leaves)
+            level_v[:, 0::2] + level_v[:, 1::2], INF
+        )  # [G, LEVEL//2] pairwise packages; odd trailing entry pairs INF
+        merged_v = jnp.concatenate([pair_v, leaves_v[:, :NSYM]], axis=1)
+        merged_k = jnp.concatenate(
+            [jnp.ones((g, LEVEL // 2), jnp.int32),
+             jnp.zeros((g, NSYM), jnp.int32)], axis=1
+        )
+        # stable sort on value*2+kind preserves relative order within equal
+        # groups, matching python sorted(merged+leaves)
         skey = merged_v * 2 + merged_k
         _, level_v, level_k = jax.lax.sort(
-            (skey, merged_v, merged_k), dimension=0, is_stable=True, num_keys=1
+            (skey, merged_v, merged_k), dimension=1, is_stable=True, num_keys=1
         )
         kinds.append(level_k)
 
     # --- solution walk (length_limited.rs:75-89) ------------------------
-    idx = jnp.arange(LEVEL, dtype=jnp.int32)
-    p = n - 1  # num_packages; n==1 -> 0 -> all lengths stay 0
-    len_by_leaf = jnp.zeros((NSYM,), jnp.int32)
+    idx = jnp.broadcast_to(jnp.arange(LEVEL, dtype=jnp.int32), (g, LEVEL))
+    p = n - 1  # [G] num_packages; n==1 -> 0 -> all lengths stay 0
+    len_by_leaf = jnp.zeros((g, NSYM), jnp.int32)
     for level_kind in reversed(kinds):
-        taken = idx < 2 * p
+        taken = idx < 2 * p[:, None]
         leaves_taken = jnp.sum(
-            (taken & (level_kind == 0)).astype(jnp.int32)
+            (taken & (level_kind == 0)).astype(jnp.int32), axis=1
         )
-        p = jnp.sum(taken.astype(jnp.int32)) - leaves_taken
-        len_by_leaf = len_by_leaf + (leaf_rank < leaves_taken).astype(jnp.int32)
+        p = jnp.sum(taken.astype(jnp.int32), axis=1) - leaves_taken
+        len_by_leaf = len_by_leaf + (
+            leaf_rank < leaves_taken[:, None]
+        ).astype(jnp.int32)
 
     # the all-ones bump: longest code (leaf 0) gets +1 when any symbol exists
-    len_by_leaf = len_by_leaf.at[0].add(jnp.where(n > 0, 1, 0))
+    len_by_leaf = len_by_leaf.at[:, 0].add(jnp.where(n > 0, 1, 0))
     len_by_leaf = jnp.where(leaf_valid, len_by_leaf, 0)
 
     # --- canonical codes (encoder.rs:97-119) ----------------------------
@@ -106,17 +115,20 @@ def device_code_tables(hist: jnp.ndarray):
     # 1 << (16 - prev_len) in MSB-aligned space. In leaf order that is a
     # reversed exclusive suffix sum of the per-leaf increments.
     contrib = jnp.where(leaf_valid, 1 << (16 - len_by_leaf), 0)
-    cum = jnp.cumsum(contrib)
-    total = cum[NSYM - 1]
+    cum = jnp.cumsum(contrib, axis=1)
+    total = cum[:, NSYM - 1 :]
     pattern = total - cum  # sum over leaves AFTER this one
     bits = jnp.where(
         leaf_valid, pattern >> (16 - len_by_leaf), 0
     )
 
-    codes_flat = jnp.zeros((NSYM,), jnp.int32).at[sorted_sym].set(
+    rows = jnp.broadcast_to(
+        jnp.arange(g, dtype=jnp.int32)[:, None], (g, NSYM)
+    )
+    codes_flat = jnp.zeros((g, NSYM), jnp.int32).at[rows, sorted_sym].set(
         jnp.where(leaf_valid, bits, 0), mode="drop"
     )
-    lens_flat = jnp.zeros((NSYM,), jnp.int32).at[sorted_sym].set(
+    lens_flat = jnp.zeros((g, NSYM), jnp.int32).at[rows, sorted_sym].set(
         len_by_leaf, mode="drop"
     )
     return {
@@ -126,6 +138,13 @@ def device_code_tables(hist: jnp.ndarray):
         "codes_flat": codes_flat,
         "lens_flat": lens_flat,
     }
+
+
+def device_code_tables(hist: jnp.ndarray):
+    """[256] int32 histogram -> per-table code data (single-table wrapper
+    over the batched build; see device_code_tables_batched)."""
+    out = device_code_tables_batched(hist[None])
+    return {k: v[0] for k, v in out.items()}
 
 
 def device_sweep_tables(luma: dict, chroma: dict, k_cap: int):
