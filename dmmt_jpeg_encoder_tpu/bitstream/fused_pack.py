@@ -296,63 +296,112 @@ def _emit_half(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
     )
 
 
-def _place_fragment(emis, shift, t_rows):
-    """Place one half's emissions into [T, FRAG_WORDS] pre-shifted
-    fragments (lane-iota compares; bit-disjoint adds are ORs)."""
-    (dc_val, dc_len), (ac_val, ac_len, ac_off), zrl_slots, \
-        (eob_code, eob_len, eob_off), _ = emis
+def _placement_contrib(val, ln, off, shift, t_rows):
+    """OR of word contributions for the given emission columns: a value
+    [T, FRAG_WORDS] (lane-iota compares; bit-disjoint adds are ORs)."""
+    import jax.lax as lax
+
     lane_f = _lane_iota(t_rows, FRAG_WORDS)
-
-    frag = jnp.zeros((t_rows, FRAG_WORDS), _U32)
     zero_u = jnp.zeros((), _U32)
-
-    def add(frag, val, ln, off):
-        # val/ln/off: [T, 1] or [T, 63]; place each column. Mosaic lacks
-        # i32<->u32 value casts; everything here is non-negative, so
-        # bitcasts are value-preserving.
-        import jax.lax as lax
-
-        off = off + shift
-        b0 = off & 31
-        end = b0 + ln
-        spill_i = jnp.maximum(end - 32, 0)
-        spill = lax.bitcast_convert_type(spill_i, _U32)
-        keep = lax.bitcast_convert_type(jnp.maximum(32 - end, 0), _U32)
-        uval = lax.bitcast_convert_type(val, _U32)
-        c0 = jnp.where(ln > 0, (uval >> spill) << keep, zero_u)
-        c1 = jnp.where(
-            spill_i > 0,
-            uval << lax.bitcast_convert_type(32 - spill_i, _U32),
-            zero_u,
-        )
-        o = off >> 5
-        for e in range(val.shape[1]):
-            oe = o[:, e : e + 1]
-            frag = frag | jnp.where(lane_f == oe, c0[:, e : e + 1], zero_u)
-            frag = frag | jnp.where(lane_f == oe + 1, c1[:, e : e + 1], zero_u)
-        return frag
-
-    frag = add(frag, dc_val, dc_len, jnp.zeros_like(dc_len))
-    frag = add(frag, ac_val, ac_len, ac_off)
-    for code, ln, off in zrl_slots:
-        frag = add(frag, code * jnp.ones_like(ln), ln, off)
-    frag = add(frag, eob_code * jnp.ones_like(eob_len), eob_len, eob_off)
+    off = off + shift
+    b0 = off & 31
+    end = b0 + ln
+    spill_i = jnp.maximum(end - 32, 0)
+    spill = lax.bitcast_convert_type(spill_i, _U32)
+    keep = lax.bitcast_convert_type(jnp.maximum(32 - end, 0), _U32)
+    uval = lax.bitcast_convert_type(val, _U32)
+    c0 = jnp.where(ln > 0, (uval >> spill) << keep, zero_u)
+    c1 = jnp.where(
+        spill_i > 0,
+        uval << lax.bitcast_convert_type(32 - spill_i, _U32),
+        zero_u,
+    )
+    o = off >> 5
+    frag = jnp.zeros((t_rows, FRAG_WORDS), _U32)
+    for e in range(val.shape[1]):
+        oe = o[:, e : e + 1]
+        frag = frag | jnp.where(lane_f == oe, c0[:, e : e + 1], zero_u)
+        frag = frag | jnp.where(lane_f == oe + 1, c1[:, e : e + 1], zero_u)
     return frag
 
 
-def _merge_halves(frag, q_rel, t_rows):
-    """Fragments [T, FRAG_WORDS] at relative word offsets q_rel [T,1] ->
-    [R_MM, ROW_WORDS+128] accumulated rows via byte-plane matmuls."""
+def _place_fragment_tiered(frag_ref, emis, shift, t_rows):
+    """Build the pre-shifted fragments in a VMEM scratch, TIERED: the DC,
+    EOB, and first 16 AC slots always place; the high zigzag slots and the
+    ZRL slots only when some block in the tile actually uses them (for
+    photographic content at moderate quality almost all energy sits in the
+    first coefficients, so typical tiles skip ~2/3 of the placement ops)."""
+    from jax.experimental import pallas as pl
+
+    (dc_val, dc_len), (ac_val, ac_len, ac_off), zrl_slots, \
+        (eob_code, eob_len, eob_off), _ = emis
+
+    base = _placement_contrib(dc_val, dc_len, jnp.zeros_like(dc_len),
+                              shift, t_rows)
+    base = base | _placement_contrib(
+        ac_val[:, :16], ac_len[:, :16], ac_off[:, :16], shift, t_rows
+    )
+    base = base | _placement_contrib(
+        eob_code * jnp.ones_like(eob_len), eob_len, eob_off, shift, t_rows
+    )
+    frag_ref[:] = base
+
+    g16 = jnp.max(ac_len[:, 16:32]) > 0
+    g32 = jnp.max(ac_len[:, 32:]) > 0
+    gz = jnp.max(zrl_slots[0][1]) > 0
+
+    @pl.when(g16)
+    def _():
+        frag_ref[:] = frag_ref[:] | _placement_contrib(
+            ac_val[:, 16:32], ac_len[:, 16:32], ac_off[:, 16:32], shift, t_rows
+        )
+
+    @pl.when(g32)
+    def _():
+        frag_ref[:] = frag_ref[:] | _placement_contrib(
+            ac_val[:, 32:], ac_len[:, 32:], ac_off[:, 32:], shift, t_rows
+        )
+
+    @pl.when(gz)
+    def _():
+        acc = frag_ref[:]
+        for code, ln, off in zrl_slots:
+            acc = acc | _placement_contrib(
+                code * jnp.ones_like(ln), ln, off, shift, t_rows
+            )
+        frag_ref[:] = acc
+
+
+def _byte_plane_merge(m_bf, rolled, rows):
+    """[rows, T] bf16 selector x [T, FRAG_WIDE] u32 words -> [rows,
+    FRAG_WIDE] u32 via exact byte-plane matmuls (per-byte sums < 256 fit
+    bf16/f32 exactly; bit-disjoint adds are ORs)."""
     import jax.lax as lax
 
-    # lane-roll each fragment to its word phase within its output row
+    out = jnp.zeros((rows, FRAG_WIDE), _U32)
+    for b in range(4):
+        plane_i = lax.bitcast_convert_type((rolled >> (8 * b)) & 0xFF, _I32)
+        plane = plane_i.astype(jnp.float32).astype(jnp.bfloat16)
+        acc = jnp.dot(m_bf, plane, preferred_element_type=jnp.float32)
+        acc_u = lax.bitcast_convert_type(acc.astype(_I32), _U32)
+        out = out | (acc_u << (8 * b))
+    return out
+
+
+def _merge_into_staging(staging, frag, q_rel, t_rows):
+    """Accumulate one half's fragments into the staging window, TIERED by
+    the tile's output row span: typical tiles land in < 15 rows, so the
+    block->row selector matmul runs at [16, T] instead of [R_MM, T]."""
+    import jax.lax as lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     wide = jnp.pad(frag, ((0, 0), (0, FRAG_WIDE - FRAG_WORDS)))
     l = q_rel & (ROW_WORDS - 1)
     rolled = _var_roll_lanes(wide, l, FRAG_WIDE, ROW_WORDS - 1)
 
-    # block row ids on the LANE axis (transpose via identity matmul —
-    # exact: values < 2^24 with HIGHEST precision)
     r = (q_rel // ROW_WORDS).astype(jnp.float32)  # [T, 1]
+    r_max = jnp.max(q_rel) // ROW_WORDS
     ei = lax.broadcasted_iota(_I32, (t_rows, t_rows), 0)
     ej = lax.broadcasted_iota(_I32, (t_rows, t_rows), 1)
     eye = jnp.where(ei == ej, 1.0, 0.0).astype(jnp.float32)
@@ -361,25 +410,28 @@ def _merge_halves(frag, q_rel, t_rows):
         precision=lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     ).astype(_I32)  # [1, T] (f32 iota/compare are Mosaic gaps; go via i32)
-    sub = lax.broadcasted_iota(_I32, (R_MM, t_rows), 0)
-    m = jnp.where(sub == r_lane, 1.0, 0.0).astype(jnp.float32)  # [R_MM, T]
 
-    # byte-plane matmuls: per-byte sums < 256 (bit-disjoint stream), so
-    # bf16 operands are exact (integers <= 256 and the 0/1 selector fit
-    # bf16's 8 significand bits) and the MXU runs a guaranteed single
-    # pass; accumulation is f32. Mosaic has no u32<->f32 casts; the byte
-    # planes are small non-negative ints, so bitcast through i32 is
-    # value-preserving.
-    m_bf = m.astype(jnp.bfloat16)
-    ur = rolled
-    out = jnp.zeros((R_MM, FRAG_WIDE), _U32)
-    for b in range(4):
-        plane_i = lax.bitcast_convert_type((ur >> (8 * b)) & 0xFF, _I32)
-        plane = plane_i.astype(jnp.float32).astype(jnp.bfloat16)
-        acc = jnp.dot(m_bf, plane, preferred_element_type=jnp.float32)
-        acc_u = lax.bitcast_convert_type(acc.astype(_I32), _U32)
-        out = out | (acc_u << (8 * b))
-    return out
+    spill_w = FRAG_WIDE - ROW_WORDS
+
+    def accumulate(rows):
+        sub = lax.broadcasted_iota(_I32, (rows, t_rows), 0)
+        m_bf = jnp.where(sub == r_lane, 1.0, 0.0).astype(jnp.bfloat16)
+        out = _byte_plane_merge(m_bf, rolled, rows)
+        main = out[:, :ROW_WORDS]
+        spill = out[:, ROW_WORDS:]
+        spill_dn = pltpu.roll(spill, 1, axis=0)
+        sub_s = lax.broadcasted_iota(_I32, (rows, spill_w), 0)
+        spill_dn = jnp.where(sub_s >= 1, spill_dn, 0)
+        staging[0:rows, :] = staging[0:rows, :] | main
+        staging[0:rows, 0:spill_w] = staging[0:rows, 0:spill_w] | spill_dn
+
+    @pl.when(r_max < 15)
+    def _():
+        accumulate(16)
+
+    @pl.when(r_max >= 15)
+    def _():
+        accumulate(R_MM)
 
 
 # --------------------------------------------------------------------------
@@ -405,7 +457,7 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         adj_ref = refs.pop(0) if adj else None
         kdyn_ref = refs.pop(0) if dyn_k else None
         (dcsym, dcl, dcc, acsym, acl, acc, misc,
-         out_ref, nbits_ref, staging, carry, state, sem) = refs
+         out_ref, nbits_ref, staging, carry, state, sem, fragbuf) = refs
         if dyn_k:
             k_dc_rt = jnp.minimum(kdyn_ref[0, 0], k_dc)
             k_ac_rt = jnp.minimum(kdyn_ref[0, 1], k_ac)
@@ -489,19 +541,9 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
             zrls = [(c, jnp.where(valid, ln, 0), o) for (c, ln, o) in zrls]
             emis2 = ((dc_v, dc_l), (ac_v, ac_l, ac_o), zrls,
                      (eb_c, eb_l, eb_o), None)
-            frag = _place_fragment(emis2, boff & 31, trows)
+            _place_fragment_tiered(fragbuf, emis2, boff & 31, trows)
             q_rel = (boff >> 5) - base_row * ROW_WORDS
-            merged = _merge_halves(frag, q_rel, trows)
-            # fold spill lanes [ROW_WORDS:] into the next row's low lanes
-            main = merged[:, :ROW_WORDS]
-            spill = merged[:, ROW_WORDS:]
-            spill_dn = pltpu.roll(spill, 1, axis=0)
-            sub_mm = lax.broadcasted_iota(_I32, (R_MM, FRAG_WIDE - ROW_WORDS), 0)
-            spill_dn = jnp.where(sub_mm >= 1, spill_dn, 0)
-            staging[0:R_MM, :] = staging[0:R_MM, :] | main
-            staging[0:R_MM, 0 : FRAG_WIDE - ROW_WORDS] = (
-                staging[0:R_MM, 0 : FRAG_WIDE - ROW_WORDS] | spill_dn
-            )
+            _merge_into_staging(staging, fragbuf[:], q_rel, trows)
 
         # DMA the window out; hand the boundary to the next tile
         dma = pltpu.make_async_copy(
@@ -615,6 +657,7 @@ def fused_pack_words(
             pltpu.VMEM((16, ROW_WORDS), _U32),
             pltpu.SMEM((4,), _I32),
             pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((TILE_ROWS, FRAG_WORDS), _U32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,

@@ -99,6 +99,20 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="use the pure-Python scan packer instead of the C fast path",
     )
+    p.add_argument(
+        "--scan-backend",
+        choices=("auto", "device", "host"),
+        default="auto",
+        help="entropy-scan assembly: on-accelerator packing, host packing, "
+        "or auto (default: auto)",
+    )
+    p.add_argument(
+        "--one-dispatch",
+        choices=("auto", "off"),
+        default="auto",
+        help="build Huffman tables on device and pack in the same program "
+        "(default: auto)",
+    )
     return p
 
 
@@ -116,6 +130,8 @@ def parse_args(argv: list[str] | None = None) -> tuple[argparse.Namespace, Encod
             dct_variant=DCTVariant(args.dct),
             num_shards=args.shards,
             quality=args.quality,
+            scan_backend=args.scan_backend,
+            one_dispatch=args.one_dispatch,
         )
     except ValueError as e:
         build_parser().error(str(e))
