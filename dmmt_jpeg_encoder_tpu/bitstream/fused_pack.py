@@ -440,7 +440,7 @@ def _merge_into_staging(staging, frag, q_rel, t_rows):
 
 
 def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
-                 dyn_k=False):
+                 dyn_k=False, has_valid=False):
     """Builds the kernel fn; static config baked in (block count for the
     valid mask, scan stride for the in-kernel luma/chroma pattern). With
     dyn_k, the sweep loop bounds come from an SMEM input at run time (the
@@ -455,6 +455,7 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         refs = list(refs)
         blocks_ref = refs.pop(0)
         adj_ref = refs.pop(0) if adj else None
+        valid_ref = refs.pop(0) if has_valid else None
         kdyn_ref = refs.pop(0) if dyn_k else None
         (dcsym, dcl, dcc, acsym, acl, acc, misc,
          out_ref, nbits_ref, staging, carry, state, sem, fragbuf) = refs
@@ -483,6 +484,12 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         i_o = i_e + 1
         valid_e = i_e < n_blocks
         valid_o = i_o < n_blocks
+        if valid_ref is not None:
+            # caller-provided per-block validity (sharded alignment
+            # padding: black pad blocks must emit nothing)
+            va = valid_ref[:]
+            valid_e = valid_e & (va[:, 0:1] > 0)
+            valid_o = valid_o & (va[:, 1:2] > 0)
         # scan interleave pattern: Y...Y Cb Cr per MCU (block_fold_iterator).
         # int32 0/1 flags, not bool: Mosaic rejects bool-valued selects.
         ic_e = ((i_e % stride) >= luma_per_mcu).astype(_I32)
@@ -577,6 +584,7 @@ def fused_pack_words(
     n_words: int,
     adj: jnp.ndarray | None = None,
     k_dyn: jnp.ndarray | None = None,
+    valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Scan-order zigzag blocks [N, 64] (int, DC already DPCM) -> packed
     big-endian u32 word stream + total bit count, one Pallas dispatch.
@@ -586,6 +594,8 @@ def fused_pack_words(
     offset BEFORE the block (the batched packer word-aligns images).
     k_dyn: optional i32 [2] runtime (dc, ac) sweep lengths — pass when the
     sweep arrays are device-built with capacity padding.
+    valid: optional i32/bool [N] per-block mask — invalid blocks emit no
+    bits (sharded alignment padding).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -609,6 +619,11 @@ def fused_pack_words(
         if n2_pad * 2 - n:
             a = jnp.pad(a, (0, n2_pad * 2 - n))
         args.append(a.reshape(n2_pad, 2))
+    if valid is not None:
+        vv = valid.astype(_I32)
+        if n2_pad * 2 - n:
+            vv = jnp.pad(vv, (0, n2_pad * 2 - n))
+        args.append(vv.reshape(n2_pad, 2))
 
     n_tiles = n2_pad // TILE_ROWS
     r_out = n_words // ROW_WORDS
@@ -618,6 +633,11 @@ def fused_pack_words(
                      memory_space=pltpu.VMEM),
     ]
     if adj is not None:
+        in_specs.append(
+            pl.BlockSpec((TILE_ROWS, 2), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+    if valid is not None:
         in_specs.append(
             pl.BlockSpec((TILE_ROWS, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
@@ -638,7 +658,7 @@ def fused_pack_words(
 
     kernel = _make_kernel(
         n, stride, luma_per_mcu, k_dc, k_ac, n2_pad, adj is not None,
-        dyn_k=k_dyn is not None,
+        dyn_k=k_dyn is not None, has_valid=valid is not None,
     )
     words2d, nbits = pl.pallas_call(
         kernel,

@@ -306,6 +306,7 @@ def _compiled_shard_pack(
     rows_per_shard: int,
     valid_mcu_rows: int,
     mcus_per_row: int,
+    use_fused_key: bool = False,
 ):
     from ..bitstream.device_pack import (
         _interleave_scan,
@@ -322,7 +323,9 @@ def _compiled_shard_pack(
     ns = nl_s + 2 * nc_s
     blocks_per_mcu = luma_per_mcu + 2
 
-    def per_shard(luma, cb, cr, dc_comb, ac_comb):
+    use_fused = use_fused_key
+
+    def per_shard(luma, cb, cr, dc_comb, ac_comb, *sweep):
         s = jax.lax.axis_index(AXIS)
         valid_rows = jnp.clip(
             valid_mcu_rows - s * rows_per_shard, 0, rows_per_shard
@@ -330,11 +333,19 @@ def _compiled_shard_pack(
         valid_blocks = valid_rows * mcus_per_row * blocks_per_mcu
 
         scan = _interleave_scan(luma, cb, cr, nc_s, luma_per_mcu)
+        # Alignment-padding MCUs (a suffix in scan order) emit nothing.
+        bmask = jnp.arange(ns, dtype=jnp.int32) < valid_blocks
+        if use_fused:
+            from ..bitstream.fused_pack import fused_pack_words
+
+            words, _ = fused_pack_words(
+                scan, blocks_per_mcu, luma_per_mcu, sweep, words_cap,
+                valid=bmask,
+            )
+            return byteswap_words(words)[None]
         values, lens, offs, bits = block_emissions(
             scan, jnp.asarray(table_idx), dc_comb, ac_comb
         )
-        # Alignment-padding MCUs (a suffix in scan order) emit nothing.
-        bmask = jnp.arange(ns, dtype=jnp.int32) < valid_blocks
         lens = lens * bmask[:, None]
         bits = bits * bmask
         if _use_pallas_pack():
@@ -345,11 +356,16 @@ def _compiled_shard_pack(
             words, _ = pack_to_words(values, lens, offs, bits, words_cap)
         return byteswap_words(words)[None]
 
+    n_sweep = 7 if use_fused else 0
     sharded = shard_map(
         per_shard,
         mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(None), P(None)),
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(None), P(None))
+        + (P(None),) * n_sweep,
         out_specs=P(AXIS, None),
+        # pallas_call outputs inside shard_map carry no varying-mesh-axes
+        # metadata; the per-shard packer is manifestly per-shard data
+        check_vma=False,
     )
     return jax.jit(sharded)
 
@@ -425,9 +441,12 @@ def finish_sharded_encode(
     nl_s = int(outputs[0].shape[0]) // n
     nc_s = int(outputs[1].shape[0]) // n
     mcus_per_row = pw // preset.mcu_width
+    from ..bitstream.device_pack import _use_fused_pack
+
+    use_fused = _use_fused_pack()
     fn = _compiled_shard_pack(
         n, nl_s, nc_s, preset.luma_blocks_per_mcu, words_cap,
-        rows_per_shard, valid_mcu_rows, mcus_per_row,
+        rows_per_shard, valid_mcu_rows, mcus_per_row, use_fused,
     )
     dc_comb = np.concatenate(
         [
@@ -441,9 +460,17 @@ def finish_sharded_encode(
             combine_tables(np.asarray(cac[0]), np.asarray(cac[1])),
         ]
     )
+    sweep_args = ()
+    if use_fused:
+        from ..bitstream.fused_pack import build_sweep_tables
+
+        sweep_args = tuple(
+            jnp.asarray(t) for t in build_sweep_tables(ldc, lac, cdc, cac)
+        )
     words = fn(
         outputs[0], outputs[1], outputs[2],
         jnp.asarray(dc_comb), jnp.asarray(ac_comb),
+        *sweep_args,
     )
     max_words = max((b + 31) // 32 for b in bits) if bits else 0
     host_words = jax.device_get(words[:, :max_words])

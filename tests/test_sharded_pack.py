@@ -81,3 +81,25 @@ def test_sharded_device_pack_larger_image(rng):
             pixels, 255, EncoderConfig(num_shards=n, scan_backend="device")
         )
         assert sharded == single, n
+
+
+def test_sharded_fused_pack_bit_exact(monkeypatch, rng):
+    """Per-shard packing through the fused one-kernel packer (interpret
+    mode) must still produce the single-chip bytes."""
+    monkeypatch.setenv("DMMT_PALLAS_INTERPRET", "1")
+    from dmmt_jpeg_encoder_tpu import encode_array
+    from dmmt_jpeg_encoder_tpu.config import ChromaSubsamplingPreset, EncoderConfig
+
+    px = rng.integers(0, 256, (40, 32, 3), dtype=np.uint16)
+    sharded = encode_array(
+        px, 255,
+        EncoderConfig(
+            chroma_subsampling=ChromaSubsamplingPreset.P420,
+            num_shards=2,
+            scan_backend="device",
+        ),
+    )
+    single = encode_array(
+        px, 255, EncoderConfig(chroma_subsampling=ChromaSubsamplingPreset.P420)
+    )
+    assert sharded == single
