@@ -193,19 +193,18 @@ def _magnitude_category(v):
 
 
 def _var_roll_lanes(x, amount, width, max_amount):
-    """Per-row variable lane roll via base-4 digit decomposition: static
+    """Per-row variable lane roll via binary digit decomposition: static
     pltpu.roll + per-row selects only (Mosaic's roll shift must be scalar,
-    so the per-row amount is applied digit by digit, vectorized across
-    rows). amount: [rows, 1] int32 in [0, max_amount]."""
+    so the per-row amount is applied bit by bit, vectorized across rows —
+    one roll + one select per bit). amount: [rows, 1] int32 in
+    [0, max_amount]."""
     from jax.experimental.pallas import tpu as pltpu
 
     scale = 1
     while scale <= max_amount:
-        digit = (amount // scale) & 3
-        for d in (1, 2, 3):
-            rolled = pltpu.roll(x, d * scale, axis=1)
-            x = jnp.where(digit == d, rolled, x)
-        scale <<= 2
+        rolled = pltpu.roll(x, scale, axis=1)
+        x = jnp.where((amount & scale) > 0, rolled, x)
+        scale <<= 1
     return x
 
 
