@@ -67,3 +67,13 @@ def test_one_dispatch_batch_pipeline(rng, interpret):
     batched = encode_batch(images, 255, cfg)
     singles = [encode_array(px, 255, cfg) for px in images]
     assert batched == singles
+
+
+@pytest.mark.parametrize("quality", [1, 50, 100])
+def test_one_dispatch_quality_extremes(rng, interpret, quality):
+    """q=1 floods the stream with ZRL/EOB symbols (giant quant steps);
+    q=100 produces dense long streams — both must match the host packer."""
+    px = _image(rng, 40, 48)
+    cfg_d = EncoderConfig(scan_backend="device", quality=quality)
+    cfg_h = EncoderConfig(scan_backend="host", quality=quality)
+    assert encode_array(px, 255, cfg_d) == encode_array(px, 255, cfg_h)
