@@ -77,3 +77,11 @@ def test_one_dispatch_quality_extremes(rng, interpret, quality):
     cfg_d = EncoderConfig(scan_backend="device", quality=quality)
     cfg_h = EncoderConfig(scan_backend="host", quality=quality)
     assert encode_array(px, 255, cfg_d) == encode_array(px, 255, cfg_h)
+
+
+def test_one_dispatch_16bit_source(rng, interpret):
+    """maxval > 255 sources stay uint16 end to end."""
+    px = rng.integers(0, 1024, (24, 40, 3)).astype(np.uint16)
+    d = encode_array(px, 1023, EncoderConfig(scan_backend="device"))
+    h = encode_array(px, 1023, EncoderConfig(scan_backend="host"))
+    assert d == h
