@@ -97,19 +97,12 @@ def idct2d(coeffs: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("bnm,mk->bnk", tmp, c, precision=jax.lax.Precision.HIGHEST)
 
 
-def _arai_pass(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
-    """One 8-point AAN pass along `axis` (size 8), vectorized over all other
-    axes. Dataflow graph and f32 op order follow
-    src/cosine_transform/arai.rs:29-95; f32 elementwise ops are bit-exact
-    regardless of which axis carries the 8 points, so the plane-layout
-    pipeline reuses this on non-minor axes without transposing."""
-    import jax.lax as lax
-
-    def pick(i):
-        return lax.index_in_dim(x, i, axis=axis, keepdims=False)
-
-    v00, v01, v02, v03 = pick(0), pick(1), pick(2), pick(3)
-    v04, v05, v06, v07 = pick(4), pick(5), pick(6), pick(7)
+def _arai_butterfly(v):
+    """The raw 8-point AAN dataflow on EIGHT same-shaped arrays (bit-exact
+    op order of src/cosine_transform/arai.rs:29-95); returns 8 outputs.
+    Lets callers choose layouts where every operand fills the vector lanes
+    (the [..., 8]-minor layout uses 8 of 128 lanes per op)."""
+    v00, v01, v02, v03, v04, v05, v06, v07 = v
 
     v10 = v00 + v07
     v11 = v01 + v06
@@ -147,19 +140,28 @@ def _arai_pass(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     v66 = v55 - v46
     v67 = v57 - v44
 
-    return jnp.stack(
-        [
-            v30 * _S[0],
-            v65 * _S[1],
-            v52 * _S[2],
-            v67 * _S[3],
-            v31 * _S[4],
-            v64 * _S[5],
-            v53 * _S[6],
-            v66 * _S[7],
-        ],
-        axis=axis if axis >= 0 else x.ndim + axis,
+    return (
+        v30 * _S[0],
+        v65 * _S[1],
+        v52 * _S[2],
+        v67 * _S[3],
+        v31 * _S[4],
+        v64 * _S[5],
+        v53 * _S[6],
+        v66 * _S[7],
     )
+
+
+def _arai_pass(x: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
+    """One 8-point AAN pass along `axis` (size 8), vectorized over all other
+    axes — a thin layout wrapper over _arai_butterfly."""
+    import jax.lax as lax
+
+    v = tuple(
+        lax.index_in_dim(x, i, axis=axis, keepdims=False) for i in range(8)
+    )
+    y = _arai_butterfly(v)
+    return jnp.stack(y, axis=axis if axis >= 0 else x.ndim + axis)
 
 
 def _dct2d_arai(blocks: jnp.ndarray) -> jnp.ndarray:

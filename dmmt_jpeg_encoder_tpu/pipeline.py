@@ -64,6 +64,11 @@ def _plane_mode() -> str:
     - "plane_mm": same, but the (v,u) interleave + zigzag are folded into
       exact MXU matmuls (identity/permutation one-hots at HIGHEST) before
       rounding, removing the int16 transpose too.
+    - "plane2": keeps all 64 coefficient planes as separate full-lane
+      [A, B] arrays through both butterfly passes and stacks once in
+      zigzag order. MEASURED SLOWER than "plane" on TPU (85 vs 51 ms/4K:
+      the 8 strided phase-slices + 64-way stack cost more than the
+      [..., 8]-minor chain XLA fuses well); kept as a tested variant.
     - "block": the original blockize-first path.
     All three produce bit-identical blocks (f32 elementwise ops don't
     depend on vectorization layout; the matmuls are exact one-hots).
@@ -90,6 +95,43 @@ def _zz_perm_uv() -> np.ndarray:
 _P_UV = None
 
 
+def _plane_dct_zigzag_blocks_fullwidth(
+    plane: jnp.ndarray,
+    qtable: jnp.ndarray,
+    entangle_quads: bool,
+) -> jnp.ndarray:
+    """[H, W] f32 plane -> int16 [N, 64] zigzag blocks, Arai bit-exact,
+    with every vector op FULL-WIDTH: the 64 (v, u) coefficient planes live
+    as separate [A, B]-shaped arrays through both butterfly passes and
+    quantization (a [..., 8]-minor layout uses 8 of 128 lanes per op — the
+    row pass alone cost ~15 ms/4K that way). One strided read (the eight
+    x-phase slices) and one strided write (the zigzag-ordered stack)
+    bracket ~800 full-lane elementwise ops."""
+    from .ops.dct import _arai_butterfly
+    from .ops.quantize import round_half_away_from_zero
+    from .tables import ZIGZAG
+
+    hh, ww = plane.shape
+    a, b = hh // 8, ww // 8
+    p4 = plane.reshape(a, 8, b, 8)                    # [A, 8y, B, 8x] free
+    xs = tuple(p4[:, :, :, x] for x in range(8))      # 8 x [A, 8y, B]
+    us = _arai_butterfly(xs)                          # row pass (over x)
+    q = qtable.astype(jnp.float32).reshape(8, 8)      # may be traced
+    vals: dict[tuple[int, int], jnp.ndarray] = {}
+    for u in range(8):
+        ys = tuple(us[u][:, y, :] for y in range(8))  # 8 x [A, B]
+        vs = _arai_butterfly(ys)                      # col pass (over y)
+        for v in range(8):
+            vals[(v, u)] = round_half_away_from_zero(
+                vs[v] / q[v, u]
+            ).astype(jnp.int16)
+    zz_order = [divmod(int(ZIGZAG[j]), 8) for j in range(64)]
+    blk = jnp.stack([vals[vu] for vu in zz_order], axis=-1)  # [A, B, 64]
+    if entangle_quads:
+        blk = blk.reshape(a // 2, 2, b // 2, 2, 64).transpose(0, 2, 1, 3, 4)
+    return blk.reshape(-1, 64)
+
+
 def _plane_dct_zigzag_blocks(
     plane: jnp.ndarray,
     qtable: jnp.ndarray,
@@ -101,6 +143,11 @@ def _plane_dct_zigzag_blocks(
     from .ops.dct import _arai_pass
     from .ops.quantize import round_half_away_from_zero
     from .tables import ZIGZAG
+
+    if mode == "plane2":
+        return _plane_dct_zigzag_blocks_fullwidth(
+            plane, qtable, entangle_quads
+        )
 
     hh, ww = plane.shape
     a, b = hh // 8, ww // 8
@@ -149,7 +196,7 @@ def encode_blocks_from_planes(
     Factored out so the sharded (shard_map) pipeline can reuse it per shard.
     """
     mode = _plane_mode()
-    if variant is DCTVariant.ARAI and mode in ("plane", "plane_mm"):
+    if variant is DCTVariant.ARAI and mode in ("plane", "plane_mm", "plane2"):
         luma_zz = _plane_dct_zigzag_blocks(
             y, luma_q, entangle is not None, mode
         )

@@ -88,7 +88,7 @@ def test_plane_modes_bit_identical(monkeypatch):
     outs = {}
     for preset in ChromaSubsamplingPreset:
         ent = entangle_permutation(w // 8, h // 8, preset)
-        for mode in ("block", "plane", "plane_mm"):
+        for mode in ("block", "plane", "plane_mm", "plane2"):
             monkeypatch.setenv("DMMT_P1", mode)
             outs[mode] = [
                 np.asarray(x)
@@ -97,6 +97,6 @@ def test_plane_modes_bit_identical(monkeypatch):
                     preset, DCTVariant.ARAI, ent,
                 )
             ]
-        for mode in ("plane", "plane_mm"):
+        for mode in ("plane", "plane_mm", "plane2"):
             for got, want in zip(outs[mode], outs["block"]):
                 np.testing.assert_array_equal(got, want)
