@@ -14,13 +14,18 @@ performs, entirely in VMEM:
    fragment pre-shifted by the block's global bit phase (lane-iota
    compares, no scatter).
 3. MERGE — fragments lane-rolled to their word phase with VECTORIZED
-   digit shifts (static pltpu.roll + per-row selects, base-4 digits), then
-   accumulated into output rows with byte-plane MXU matmuls: the
+   binary-digit shifts (static pltpu.roll + one per-row select per bit),
+   then accumulated into output rows with byte-plane MXU matmuls: the
    block->row assignment matrix M[r, i] = (row(i) == r) turns the monotone
    scatter into M @ fragments. Bit-disjointness of the stream makes every
    add an OR, and per-byte sums stay < 256, so single-pass bf16 matmuls
    are bit-exact. The staging window is DMA'd to HBM per tile with a
    16-row carry to the next tile (same contract as pallas_pack's merge).
+
+Both FRAGMENT and MERGE are TIERED on per-tile content guards: high
+zigzag slots, ZRL slots, and the full-height selector matmul only run
+when some block in the tile needs them — typical photographic tiles use
+the cheap paths throughout.
 
 This removes the [N,68] value/len/offset HBM intermediates (~160 MB of
 traffic per 4K image) and the serial per-block merge walk (~10 ms/4K).
@@ -55,10 +60,6 @@ FRAG_WIDE = 384          # fragment after lane roll (<= 255 + 72 -> 3x128)
 # alignment slop + fold row -> 144 matmul rows; + 16 carry window.
 R_MM = 144
 R_LOC = 160
-
-
-def _iszero(x):
-    return x == 0
 
 
 # --------------------------------------------------------------------------

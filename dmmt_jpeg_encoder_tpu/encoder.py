@@ -238,14 +238,14 @@ def encode_batch(
     — JAX dispatch is async, so image i+1's device work overlaps image i's
     host table-build/packing and fetches, with no extra compilation.
 
-    fused_batch > 1 opts into the FUSED path for same-shape images: one
-    batched (vmap) pipeline dispatch + one batched scan-pack dispatch per
-    chunk — two device round trips per chunk instead of two per image.
-    Worth it when round-trip latency dominates per-image compute (small
-    images / high-latency links); measured at 4K the batched programs run
-    slower per pixel than the single-image ones, so it is opt-in. (The
-    reference encodes one image per process; batch encode is this
-    framework's throughput scenario, BASELINE.md.)"""
+    fused_batch > 1 opts into the LEGACY fused path for same-shape images
+    (one vmapped pipeline dispatch + one batched scan-pack dispatch per
+    chunk). Superseded: the default pipeline now runs the one-dispatch
+    encode per image (one program, one speculative fetch), which measured
+    faster per pixel than the vmapped batch programs; the knob remains for
+    API compatibility and as a cross-check path. (The reference encodes
+    one image per process; batch encode is this framework's throughput
+    scenario, BASELINE.md.)"""
     config = config or EncoderConfig()
     if config.num_shards > 1:
         return _encode_batch_sharded(images, maxval, config)
