@@ -69,6 +69,11 @@ def _plane_mode() -> str:
       zigzag order. MEASURED SLOWER than "plane" on TPU (85 vs 51 ms/4K:
       the 8 strided phase-slices + 64-way stack cost more than the
       [..., 8]-minor chain XLA fuses well); kept as a tested variant.
+    - "pallas": the Arai+quantize chain as ONE Pallas kernel per plane
+      (ops/pallas_dct.py) — dense phase rolls keep every op full-width,
+      zero HBM intermediates; falls back to "plane" without a Pallas
+      backend. Measured slightly SLOWER than "plane" on TPU (50 vs 46
+      ms/4K phase 1: wide-row lane rotations beat XLA's fusion nowhere).
     - "block": the original blockize-first path.
     All three produce bit-identical blocks (f32 elementwise ops don't
     depend on vectorization layout; the matmuls are exact one-hots).
@@ -151,6 +156,29 @@ def _plane_dct_zigzag_blocks(
 
     hh, ww = plane.shape
     a, b = hh // 8, ww // 8
+
+    if mode == "pallas":
+        import os
+
+        from .bitstream.device_pack import _use_pallas_pack
+
+        if _use_pallas_pack():
+            from .ops.pallas_dct import plane_dct_quant
+
+            rounded16 = plane_dct_quant(plane, qtable)  # i16 [H, W]
+            blk = (
+                rounded16.reshape(a, 8, b, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(-1, 64)
+            )
+            out = blk[:, ZIGZAG].reshape(a, b, 64)
+            if entangle_quads:
+                out = out.reshape(a // 2, 2, b // 2, 2, 64).transpose(
+                    0, 2, 1, 3, 4
+                )
+            return out.reshape(-1, 64)
+        mode = "plane"  # no Pallas backend: identical jnp path
+
     r = _arai_pass(plane.reshape(hh, b, 8), axis=-1)   # rows: along x
     r = r.reshape(a, 8, b, 8)                          # [A, 8y, B, 8u] free
     c = _arai_pass(r, axis=1)                          # cols: [A, 8v, B, 8u]
@@ -196,7 +224,9 @@ def encode_blocks_from_planes(
     Factored out so the sharded (shard_map) pipeline can reuse it per shard.
     """
     mode = _plane_mode()
-    if variant is DCTVariant.ARAI and mode in ("plane", "plane_mm", "plane2"):
+    if variant is DCTVariant.ARAI and mode in (
+        "plane", "plane_mm", "plane2", "pallas"
+    ):
         luma_zz = _plane_dct_zigzag_blocks(
             y, luma_q, entangle is not None, mode
         )

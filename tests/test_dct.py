@@ -71,6 +71,7 @@ def test_parseval_energy_preserved(rng):
 
 
 def test_plane_modes_bit_identical(monkeypatch):
+    monkeypatch.setenv("DMMT_PALLAS_INTERPRET", "1")
     """All DMMT_P1 layout strategies must produce identical zigzag blocks."""
     import numpy as np
     from dmmt_jpeg_encoder_tpu.config import ChromaSubsamplingPreset, DCTVariant
@@ -88,7 +89,7 @@ def test_plane_modes_bit_identical(monkeypatch):
     outs = {}
     for preset in ChromaSubsamplingPreset:
         ent = entangle_permutation(w // 8, h // 8, preset)
-        for mode in ("block", "plane", "plane_mm", "plane2"):
+        for mode in ("block", "plane", "plane_mm", "plane2", "pallas"):
             monkeypatch.setenv("DMMT_P1", mode)
             outs[mode] = [
                 np.asarray(x)
@@ -97,6 +98,6 @@ def test_plane_modes_bit_identical(monkeypatch):
                     preset, DCTVariant.ARAI, ent,
                 )
             ]
-        for mode in ("plane", "plane_mm", "plane2"):
+        for mode in ("plane", "plane_mm", "plane2", "pallas"):
             for got, want in zip(outs[mode], outs["block"]):
                 np.testing.assert_array_equal(got, want)
