@@ -85,3 +85,19 @@ def test_one_dispatch_16bit_source(rng, interpret):
     d = encode_array(px, 1023, EncoderConfig(scan_backend="device"))
     h = encode_array(px, 1023, EncoderConfig(scan_backend="host"))
     assert d == h
+
+
+def test_one_dispatch_geometry_fuzz(rng, interpret):
+    """Odd geometries: single-MCU, single-row, padding in both axes."""
+    for h, w in [(8, 8), (16, 8), (8, 24), (17, 9), (33, 15), (16, 50)]:
+        px = _image(rng, h, w)
+        for preset in ChromaSubsamplingPreset:
+            d = encode_array(
+                px, 255,
+                EncoderConfig(chroma_subsampling=preset, scan_backend="device"),
+            )
+            hsot = encode_array(
+                px, 255,
+                EncoderConfig(chroma_subsampling=preset, scan_backend="host"),
+            )
+            assert d == hsot, (h, w, preset)
