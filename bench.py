@@ -166,22 +166,24 @@ def main() -> int:
     # a production host is compute-bound at this rate.
     from dmmt_jpeg_encoder_tpu.onedispatch import (
         finish_one_dispatch,
+        prefetch_one_dispatch,
         start_one_dispatch,
     )
 
     dev_px = jax.device_put(pixels)
     jax.block_until_ready(dev_px)
-    bdev = 4
+    bdev = 8
     finish_one_dispatch(
         start_one_dispatch(dev_px, 255, config, luma_q, chroma_q), config
     )  # warm the speculative-fetch size cache
     t_dev = []
     for _ in range(args.rounds):
         t0 = time.perf_counter()
-        states = [
-            start_one_dispatch(dev_px, 255, config, luma_q, chroma_q)
-            for _ in range(bdev)
-        ]
+        states = []
+        for _ in range(bdev):
+            st = start_one_dispatch(dev_px, 255, config, luma_q, chroma_q)
+            prefetch_one_dispatch(st, config)  # queue D2H behind the program
+            states.append(st)
         for st in states:
             finish_one_dispatch(st, config)
         t_dev.append((time.perf_counter() - t0) / bdev)

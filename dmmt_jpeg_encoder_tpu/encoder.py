@@ -319,12 +319,16 @@ def encode_batch(
             dev[i + 1] = jax.device_put(_narrow_pixels(images[i + 1], maxval))
         h, w = int(images[i].shape[0]), int(images[i].shape[1])
         if backend == "device" and _use_one_dispatch(config, h, w):
-            from .onedispatch import start_one_dispatch
+            from .onedispatch import prefetch_one_dispatch, start_one_dispatch
 
             results[i] = (
                 "od",
                 start_one_dispatch(dev[i], maxval, config, luma_q, chroma_q),
             )
+            # Queue image i's device->host copies behind its program now,
+            # so finish(i) after the NEXT dispatch finds them done instead
+            # of paying a blocking round trip.
+            prefetch_one_dispatch(results[i][1], config)
         else:
             results[i] = (
                 "std",

@@ -56,6 +56,7 @@ class OneDispatchState:
     hists: tuple              # 4 histograms (debug cross-check only)
     height: int
     width: int
+    spec_slice: jnp.ndarray | None = None  # prefetched speculative word slice
 
 
 def one_dispatch_supported(height: int, width: int,
@@ -194,6 +195,44 @@ def start_one_dispatch(
 _LAST_BITS: dict[tuple, int] = {}
 
 
+def _speculative_slice(state: OneDispatchState, config: EncoderConfig):
+    """Device-side slice of the word stream sized ~20% above the previous
+    encode at the same geometry/quality, or None on the first encode."""
+    geom_key = (state.height, state.width, config.chroma_subsampling,
+                config.quality, config.quantization_preset)
+    last_bits = _LAST_BITS.get(geom_key)
+    if last_bits is None:
+        return None
+    guess = min(
+        int(state.words.shape[0]),
+        ((last_bits + last_bits // 5) + 31) // 32 + 8,
+    )
+    return state.words[:guess]
+
+
+def prefetch_one_dispatch(state: OneDispatchState,
+                          config: EncoderConfig) -> None:
+    """Start asynchronous device->host copies of everything
+    finish_one_dispatch will read.
+
+    With several dispatches in flight, calling this on each state before
+    finishing any lets the copies queue behind the device programs, so the
+    blocking round trip (~25 ms on a tunneled link) is paid once per
+    drain, not once per image. finish_one_dispatch stays correct whether
+    or not this ran (device_get of an already-copied array is free)."""
+    if state.spec_slice is None:
+        state.spec_slice = _speculative_slice(state, config)
+    arrays = [state.total_bits, state.spec_syms, state.spec_lens,
+              state.spec_ns]
+    if state.spec_slice is not None:
+        arrays.append(state.spec_slice)
+    for a in arrays:
+        try:
+            a.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            return  # backend has no async copies: finish fetches as usual
+
+
 def finish_one_dispatch(state: OneDispatchState, config: EncoderConfig):
     """Synchronize: one speculative fetch (table spec + bits + a word
     slice sized from the previous encode); a second fetch only when the
@@ -210,16 +249,13 @@ def finish_one_dispatch(state: OneDispatchState, config: EncoderConfig):
 
     geom_key = (state.height, state.width, config.chroma_subsampling,
                 config.quality, config.quantization_preset)
-    last_bits = _LAST_BITS.get(geom_key)
+    if state.spec_slice is None:
+        state.spec_slice = _speculative_slice(state, config)
     spec_words = None
-    if last_bits is not None:
-        guess = min(
-            int(state.words.shape[0]),
-            ((last_bits + last_bits // 5) + 31) // 32 + 8,
-        )
+    if state.spec_slice is not None:
         total_bits, spec_syms, spec_lens, spec_ns, spec_words = jax.device_get(
             (state.total_bits, state.spec_syms, state.spec_lens,
-             state.spec_ns, state.words[:guess])
+             state.spec_ns, state.spec_slice)
         )
     else:
         total_bits, spec_syms, spec_lens, spec_ns = jax.device_get(
