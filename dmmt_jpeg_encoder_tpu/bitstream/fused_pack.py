@@ -209,32 +209,32 @@ def _var_roll_lanes(x, amount, width, max_amount):
     return x
 
 
-def _emit_half(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
-               dc_ent, zrl_ent, eob_ent, half):
-    """Emission values/lens/offsets for one 64-lane half of the packed row.
+def _emit_both(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
+               dc_ents, zrl_ents, eob_ents):
+    """Emission values/lens/offsets for BOTH 64-lane halves of the packed
+    row in one pass.
 
-    v, cat, lane, ischroma: [T, 128] packed arrays; half in {0, 1}.
-    Returns per-half ([T,1] dc triple, [T,63] ac arrays, zrl/eob info,
-    block_bits [T,1]).
+    Everything lane-local — the zero-run structure, the AC present-symbol
+    sweep (the kernel's single dominant cost), magnitude bits, and the
+    in-block offset scans — is computed ONCE on the full [T, 128] arrays:
+    the masked scans never cross the 64-lane boundary, and the per-half
+    DC/ZRL table entries enter only as per-lane broadcasts. Only the
+    cheap [T, 1] reductions (block totals, EOB, ZRL slots) run per half.
+
+    v, cat, lane, ischroma: [T, 128] packed arrays; dc_ents/zrl_ents/
+    eob_ents: ([T,1] half-0 entry, [T,1] half-1 entry).
+    Returns [emis_half0, emis_half1], each ([T,1] dc pair, [T,63] ac
+    arrays, zrl slots, eob info, block_bits [T,1]).
     """
-    lo = 64 * half
-    t = v.shape[0]
+    from jax.experimental.pallas import tpu as pltpu
 
-    # --- DC (lane lo) ---------------------------------------------------
-    dccat = cat[:, lo : lo + 1]
-    dccode = dc_ent >> 8
-    dclen = dc_ent & 0xFF
-    dcv = v[:, lo : lo + 1]
-    e_dc_val = (dccode << dccat) | _pattern(dcv, dccat)
-    e_dc_len = dclen + dccat
-
-    # --- AC structure (categorize.rs:132-151 as scans) ------------------
     pos = (lane & 63)
+    half_id = lane // 64
+
+    # --- AC structure (categorize.rs:132-151 as scans), shared ----------
     nz = (v != 0) & (pos > 0)
     nzpos = jnp.where(nz, pos, 0)
     # previous nonzero position (exclusive): shift right one lane in-half
-    from jax.experimental.pallas import tpu as pltpu
-
     shifted = jnp.where(pos >= 1, pltpu.roll(nzpos, 1, axis=1), 0)
     prev_nz = _masked_cummax(shifted, lane)
     run = pos - prev_nz - 1
@@ -247,53 +247,73 @@ def _emit_half(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
     aclen = ac_ent & 0xFF
     e_ac_val = jnp.where(nz, (accode << cat) | _pattern(v, cat), 0)
     e_ac_len = jnp.where(nz, aclen + cat, 0)
-
-    zrl_code = zrl_ent >> 8
-    zrl_len = zrl_ent & 0xFF
-    eob_code = eob_ent >> 8
-    eob_len = eob_ent & 0xFF
-    last_nz = jnp.max(jnp.where(lane // 64 == half, nzpos, 0), axis=1,
-                      keepdims=True)
-    has_eob = last_nz < 63
-    e_eob_len = jnp.where(has_eob, eob_len, 0)
-
-    # --- offsets within the block (exclusive scans) ---------------------
-    pre = zrl * zrl_len
-    seg = pre + e_ac_len
-    seg_incl = _masked_cumsum(seg, lane)
-    start = e_dc_len + (seg_incl - seg)  # [T,128] broadcast of dc_len
-    e_ac_off = start + pre
-    half_mask = (lane // 64) == half
-    ac_total = jnp.sum(jnp.where(half_mask, seg, 0), axis=1, keepdims=True)
-    e_eob_off = e_dc_len + ac_total
-    block_bits = e_dc_len + ac_total + e_eob_len
-
-    # --- the <=3 ZRL slots (masked reduces; no take_along_axis) ---------
     cz = _masked_cumsum(zrl, lane)
     cz_excl = cz - zrl
-    total_z = jnp.sum(jnp.where(half_mask, zrl, 0), axis=1, keepdims=True)
-    zrl_slots = []
-    for i in range(3):
-        active = total_z > i
-        hit = half_mask & (cz > i) & (cz_excl <= i)  # the i-th ZRL's owner
-        start_ki = jnp.sum(jnp.where(hit, start, 0), axis=1, keepdims=True)
-        excl_ki = jnp.sum(jnp.where(hit, cz_excl, 0), axis=1, keepdims=True)
-        off_i = start_ki + (i - excl_ki) * zrl_len
-        len_i = jnp.where(active, zrl_len, 0)
-        zrl_slots.append((zrl_code, len_i, off_i))
 
-    # slice this half's 63 AC lanes to [T, 63]
-    sl = lo + 1
-    ac_val63 = e_ac_val[:, sl : sl + 63]
-    ac_len63 = e_ac_len[:, sl : sl + 63]
-    ac_off63 = e_ac_off[:, sl : sl + 63]
-    return (
-        (e_dc_val, e_dc_len),
-        (ac_val63, ac_len63, ac_off63),
-        zrl_slots,
-        (eob_code, e_eob_len, e_eob_off),
-        block_bits,
+    # --- per-half DC entries (lane 0 / lane 64) -------------------------
+    dc_vals, dc_lens = [], []
+    for half in (0, 1):
+        lo = 64 * half
+        dccat = cat[:, lo : lo + 1]
+        dcv = v[:, lo : lo + 1]
+        dc_vals.append(((dc_ents[half] >> 8) << dccat) | _pattern(dcv, dccat))
+        dc_lens.append((dc_ents[half] & 0xFF) + dccat)
+    dc_len_lane = jnp.where(half_id == 0, dc_lens[0], dc_lens[1])
+    zrl_len_lane = jnp.where(
+        half_id == 0, zrl_ents[0] & 0xFF, zrl_ents[1] & 0xFF
     )
+
+    # --- offsets within the block (shared masked scans) -----------------
+    pre = zrl * zrl_len_lane
+    seg = pre + e_ac_len
+    seg_incl = _masked_cumsum(seg, lane)
+    start = dc_len_lane + (seg_incl - seg)
+    e_ac_off = start + pre
+
+    out = []
+    for half in (0, 1):
+        lo = 64 * half
+        half_mask = half_id == half
+        zrl_code = zrl_ents[half] >> 8
+        zrl_len = zrl_ents[half] & 0xFF
+        eob_code = eob_ents[half] >> 8
+        eob_len = eob_ents[half] & 0xFF
+        e_dc_len = dc_lens[half]
+        last_nz = jnp.max(jnp.where(half_mask, nzpos, 0), axis=1,
+                          keepdims=True)
+        has_eob = last_nz < 63
+        e_eob_len = jnp.where(has_eob, eob_len, 0)
+        ac_total = jnp.sum(jnp.where(half_mask, seg, 0), axis=1,
+                           keepdims=True)
+        e_eob_off = e_dc_len + ac_total
+        block_bits = e_dc_len + ac_total + e_eob_len
+
+        # --- the <=3 ZRL slots (masked reduces; no take_along_axis) -----
+        total_z = jnp.sum(jnp.where(half_mask, zrl, 0), axis=1,
+                          keepdims=True)
+        zrl_slots = []
+        for i in range(3):
+            active = total_z > i
+            hit = half_mask & (cz > i) & (cz_excl <= i)  # i-th ZRL's owner
+            start_ki = jnp.sum(jnp.where(hit, start, 0), axis=1,
+                               keepdims=True)
+            excl_ki = jnp.sum(jnp.where(hit, cz_excl, 0), axis=1,
+                              keepdims=True)
+            off_i = start_ki + (i - excl_ki) * zrl_len
+            len_i = jnp.where(active, zrl_len, 0)
+            zrl_slots.append((zrl_code, len_i, off_i))
+
+        # slice this half's 63 AC lanes to [T, 63]
+        sl = lo + 1
+        out.append((
+            (dc_vals[half], dc_lens[half]),
+            (e_ac_val[:, sl : sl + 63], e_ac_len[:, sl : sl + 63],
+             e_ac_off[:, sl : sl + 63]),
+            zrl_slots,
+            (eob_code, e_eob_len, e_eob_off),
+            block_bits,
+        ))
+    return out
 
 
 def _placement_contrib(val, ln, off, shift, t_rows):
@@ -501,17 +521,19 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         def misc_pick(l_idx, c_idx, ic):
             return jnp.where(ic > 0, misc[0, c_idx], misc[0, l_idx])
 
-        halves = []
+        dc_ents, zrl_ents, eob_ents = [], [], []
         for half, ic in ((0, ic_e), (1, ic_o)):
             # DC lookup: sweep over present DC categories, [T, 1]
-            dc_ent = _sweep_lookup(
-                cat[:, 64 * half : 64 * half + 1], ic, dcsym, dcl, dcc, k_dc_rt
-            )
-            emis = _emit_half(
-                v, cat, lane, ischroma, acsym, acl, acc, k_ac_rt,
-                dc_ent, misc_pick(0, 1, ic), misc_pick(2, 3, ic), half,
-            )
-            halves.append(emis)
+            dc_ents.append(_sweep_lookup(
+                cat[:, 64 * half : 64 * half + 1], ic, dcsym, dcl, dcc,
+                k_dc_rt,
+            ))
+            zrl_ents.append(misc_pick(0, 1, ic))
+            eob_ents.append(misc_pick(2, 3, ic))
+        halves = _emit_both(
+            v, cat, lane, ischroma, acsym, acl, acc, k_ac_rt,
+            dc_ents, zrl_ents, eob_ents,
+        )
 
         bits_e = jnp.where(valid_e, halves[0][4], 0)
         bits_o = jnp.where(valid_o, halves[1][4], 0)
