@@ -10,9 +10,10 @@ performs, entirely in VMEM:
    over only the symbols PRESENT in this image's tables, read from SMEM),
    per-block bit lengths, and the running global bit offset (carried
    across the sequential grid in SMEM — TPU grids execute in order).
-2. FRAGMENT — each block's <=68 emissions placed into a private 72-word
-   fragment pre-shifted by the block's global bit phase (lane-iota
-   compares, no scatter).
+2. FRAGMENT — each kernel row's TWO scan-adjacent blocks' emissions
+   placed contiguously into one private 128-word row fragment
+   pre-shifted by the row's global bit phase (lane-iota compares, no
+   scatter) — one fragment per row halves the merge work below.
 3. MERGE — fragments lane-rolled to their word phase with VECTORIZED
    binary-digit shifts (static pltpu.roll + one per-row select per bit),
    then accumulated into output rows with byte-plane MXU matmuls: the
@@ -54,8 +55,13 @@ _I32 = jnp.int32
 
 TILE_ROWS = 256          # kernel rows per grid step = 512 blocks
 ROW_WORDS = 256          # output row width (words)
-FRAG_WORDS = 72          # per-block fragment (64 worst case + phase + pad)
-FRAG_WIDE = 384          # fragment after lane roll (<= 255 + 72 -> 3x128)
+# Per-ROW fragment: BOTH blocks of a kernel row are adjacent in the scan
+# stream, so they share one contiguous fragment (phase <=31 bits + two
+# worst-case ~1681-bit blocks = ~3393 bits = 107 words; odd-block bit
+# adjustments must keep the pair under this capacity). One fragment per
+# row means ONE variable roll + ONE merge matmul per tile instead of two.
+FRAG_WORDS = 128
+FRAG_WIDE = 384          # fragment after lane roll (128 + 255 -> 3x128)
 # Staging rows per tile: worst case 512 blocks x 64 words = 128 rows, + 8
 # alignment slop + fold row -> 144 matmul rows; + 16 carry window.
 R_MM = 144
@@ -345,50 +351,71 @@ def _placement_contrib(val, ln, off, shift, t_rows):
     return frag
 
 
-def _place_fragment_tiered(frag_ref, emis, shift, t_rows):
-    """Build the pre-shifted fragments in a VMEM scratch, TIERED: the DC,
-    EOB, and first 16 AC slots always place; the high zigzag slots and the
-    ZRL slots only when some block in the tile actually uses them (for
-    photographic content at moderate quality almost all energy sits in the
-    first coefficients, so typical tiles skip ~2/3 of the placement ops)."""
+def _place_row_fragment_tiered(frag_ref, emis_pair, shifts, t_rows):
+    """Build the pre-shifted per-ROW fragments (both scan-adjacent blocks
+    contiguously) in a VMEM scratch, TIERED: the DC, EOB, and first 16 AC
+    slots always place; the high zigzag slots and the ZRL slots only when
+    some block in the tile actually uses them (for photographic content at
+    moderate quality almost all energy sits in the first coefficients, so
+    typical tiles skip ~2/3 of the placement ops).
+
+    emis_pair/shifts: per-half emission tuples and in-fragment bit shifts
+    (half 1's shift = half 0's phase + half 0's block bits)."""
     from jax.experimental import pallas as pl
 
-    (dc_val, dc_len), (ac_val, ac_len, ac_off), zrl_slots, \
-        (eob_code, eob_len, eob_off), _ = emis
-
-    base = _placement_contrib(dc_val, dc_len, jnp.zeros_like(dc_len),
-                              shift, t_rows)
-    base = base | _placement_contrib(
-        ac_val[:, :16], ac_len[:, :16], ac_off[:, :16], shift, t_rows
-    )
-    base = base | _placement_contrib(
-        eob_code * jnp.ones_like(eob_len), eob_len, eob_off, shift, t_rows
-    )
+    base = None
+    for emis, shift in zip(emis_pair, shifts):
+        (dc_val, dc_len), (ac_val, ac_len, ac_off), _, \
+            (eob_code, eob_len, eob_off), _ = emis
+        b = _placement_contrib(dc_val, dc_len, jnp.zeros_like(dc_len),
+                               shift, t_rows)
+        b = b | _placement_contrib(
+            ac_val[:, :16], ac_len[:, :16], ac_off[:, :16], shift, t_rows
+        )
+        b = b | _placement_contrib(
+            eob_code * jnp.ones_like(eob_len), eob_len, eob_off, shift,
+            t_rows,
+        )
+        base = b if base is None else base | b
     frag_ref[:] = base
 
-    g16 = jnp.max(ac_len[:, 16:32]) > 0
-    g32 = jnp.max(ac_len[:, 32:]) > 0
-    gz = jnp.max(zrl_slots[0][1]) > 0
+    def pairmax(f):
+        return jnp.maximum(f(emis_pair[0]), f(emis_pair[1]))
+
+    g16 = pairmax(lambda e: jnp.max(e[1][1][:, 16:32])) > 0
+    g32 = pairmax(lambda e: jnp.max(e[1][1][:, 32:])) > 0
+    gz = pairmax(lambda e: jnp.max(e[2][0][1])) > 0
 
     @pl.when(g16)
     def _():
-        frag_ref[:] = frag_ref[:] | _placement_contrib(
-            ac_val[:, 16:32], ac_len[:, 16:32], ac_off[:, 16:32], shift, t_rows
-        )
+        acc = frag_ref[:]
+        for emis, shift in zip(emis_pair, shifts):
+            ac_val, ac_len, ac_off = emis[1]
+            acc = acc | _placement_contrib(
+                ac_val[:, 16:32], ac_len[:, 16:32], ac_off[:, 16:32],
+                shift, t_rows,
+            )
+        frag_ref[:] = acc
 
     @pl.when(g32)
     def _():
-        frag_ref[:] = frag_ref[:] | _placement_contrib(
-            ac_val[:, 32:], ac_len[:, 32:], ac_off[:, 32:], shift, t_rows
-        )
+        acc = frag_ref[:]
+        for emis, shift in zip(emis_pair, shifts):
+            ac_val, ac_len, ac_off = emis[1]
+            acc = acc | _placement_contrib(
+                ac_val[:, 32:], ac_len[:, 32:], ac_off[:, 32:], shift,
+                t_rows,
+            )
+        frag_ref[:] = acc
 
     @pl.when(gz)
     def _():
         acc = frag_ref[:]
-        for code, ln, off in zrl_slots:
-            acc = acc | _placement_contrib(
-                code * jnp.ones_like(ln), ln, off, shift, t_rows
-            )
+        for emis, shift in zip(emis_pair, shifts):
+            for code, ln, off in emis[2]:
+                acc = acc | _placement_contrib(
+                    code * jnp.ones_like(ln), ln, off, shift, t_rows
+                )
         frag_ref[:] = acc
 
 
@@ -549,7 +576,6 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         row_bits = bits_e + bits_o + adj_e + adj_o
         row_base = bit_base + _row_cumsum_excl(row_bits, trows)
         boff_e = row_base + adj_e
-        boff_o = boff_e + bits_e + adj_o
         tile_bits = jnp.sum(row_bits)
 
         staging[:] = jnp.zeros_like(staging)
@@ -558,21 +584,24 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         def _():
             staging[0:16, :] = carry[:]
 
-        for emis, boff, valid in (
-            (halves[0], boff_e, valid_e),
-            (halves[1], boff_o, valid_o),
-        ):
+        # both blocks of a row share ONE contiguous fragment: half 0 at
+        # the row's bit phase, half 1 immediately after its bits
+        emis_pair = []
+        for emis, valid in ((halves[0], valid_e), (halves[1], valid_o)):
             # invalid (padding) blocks: zero every emission length
             (dc_v, dc_l), (ac_v, ac_l, ac_o), zrls, (eb_c, eb_l, eb_o), _ = emis
             dc_l = jnp.where(valid, dc_l, 0)
             ac_l = jnp.where(valid, ac_l, 0)
             eb_l = jnp.where(valid, eb_l, 0)
             zrls = [(c, jnp.where(valid, ln, 0), o) for (c, ln, o) in zrls]
-            emis2 = ((dc_v, dc_l), (ac_v, ac_l, ac_o), zrls,
-                     (eb_c, eb_l, eb_o), None)
-            _place_fragment_tiered(fragbuf, emis2, boff & 31, trows)
-            q_rel = (boff >> 5) - base_row * ROW_WORDS
-            _merge_into_staging(staging, fragbuf[:], q_rel, trows)
+            emis_pair.append(((dc_v, dc_l), (ac_v, ac_l, ac_o), zrls,
+                              (eb_c, eb_l, eb_o), None))
+        shift_e = boff_e & 31
+        shift_o = shift_e + bits_e + adj_o
+        _place_row_fragment_tiered(fragbuf, emis_pair, (shift_e, shift_o),
+                                   trows)
+        q_rel = (boff_e >> 5) - base_row * ROW_WORDS
+        _merge_into_staging(staging, fragbuf[:], q_rel, trows)
 
         # DMA the window out; hand the boundary to the next tile
         dma = pltpu.make_async_copy(
@@ -613,7 +642,9 @@ def fused_pack_words(
 
     sweep: build_sweep_tables output (device or numpy arrays).
     adj: optional [N] int32 per-block bit adjustments added to the running
-    offset BEFORE the block (the batched packer word-aligns images).
+    offset BEFORE the block (word-aligning a following image). Odd-index
+    adjustments must keep their block pair within the row-fragment
+    capacity (adj < ~700 bits); even-index adjustments are unbounded.
     k_dyn: optional i32 [2] runtime (dc, ac) sweep lengths — pass when the
     sweep arrays are device-built with capacity padding.
     valid: optional i32/bool [N] per-block mask — invalid blocks emit no
