@@ -54,18 +54,23 @@ _U32 = jnp.uint32
 _I32 = jnp.int32
 
 TILE_ROWS = 256          # kernel rows per grid step = 512 blocks
-ROW_WORDS = 256          # output row width (words)
+# Output row width (words). Narrower rows shrink the variable-roll span
+# (roll amount < ROW_WORDS => 7 digit-roll iterations on [T, 256] instead
+# of 8 on [T, 384]) at the cost of more selector-matmul rows; 128
+# measured ~0.3 ms/4K faster than 256.
+ROW_WORDS = int(os.environ.get("DMMT_ROW_WORDS", "128"))
 # Per-ROW fragment: BOTH blocks of a kernel row are adjacent in the scan
 # stream, so they share one contiguous fragment (phase <=31 bits + two
 # worst-case ~1681-bit blocks = ~3393 bits = 107 words; odd-block bit
 # adjustments must keep the pair under this capacity). One fragment per
 # row means ONE variable roll + ONE merge matmul per tile instead of two.
 FRAG_WORDS = 128
-FRAG_WIDE = 384          # fragment after lane roll (128 + 255 -> 3x128)
-# Staging rows per tile: worst case 512 blocks x 64 words = 128 rows, + 8
-# alignment slop + fold row -> 144 matmul rows; + 16 carry window.
-R_MM = 144
-R_LOC = 160
+# Fragment after lane roll: 128 + (ROW_WORDS - 1) rounded up to lanes.
+FRAG_WIDE = FRAG_WORDS + ROW_WORDS
+# Staging rows per tile: worst case 512 blocks x 64 words = 32768 words,
+# + 8 alignment slop + fold/spill rows; + 16 carry window.
+R_MM = (TILE_ROWS * 128) // ROW_WORDS + 16
+R_LOC = R_MM + 16
 
 
 # --------------------------------------------------------------------------
@@ -198,11 +203,17 @@ def _pattern(v, cat):
 
 
 def _magnitude_category(v):
+    """JPEG magnitude category = bit length of |v| = floor(log2|v|) + 1
+    (0 for v == 0), read off the f32 exponent: int->f32 conversion is
+    exact below 2^24, far above the int16 coefficient range, so the
+    biased exponent of f32(|v|) is exactly 127 + floor(log2|v|). ~5
+    vector ops instead of a 15-iteration compare-accumulate loop
+    (measured: same speed on TPU — kept for the simpler program)."""
+    import jax.lax as lax
+
     a = jnp.abs(v)
-    cat = jnp.zeros(v.shape, _I32)
-    for k in range(15):
-        cat = cat + (a >= (1 << k)).astype(_I32)
-    return cat
+    bits = lax.bitcast_convert_type(a.astype(jnp.float32), _I32)
+    return jnp.where(a > 0, (bits >> 23) - 126, 0)
 
 
 def _var_roll_lanes(x, amount, width, max_amount):

@@ -27,12 +27,16 @@ import jax.numpy as jnp
 def magnitude_category(v: jnp.ndarray) -> jnp.ndarray:
     """JPEG magnitude category = bit length of |v| (0 for v == 0).
     Exact for |v| <= 32767 (category <= 15; the reference panics above —
-    categorize.rs:28-33 — which cannot occur for int16 coefficients)."""
+    categorize.rs:28-33 — which cannot occur for int16 coefficients).
+
+    Computed from the f32 exponent: int->f32 conversion is exact below
+    2^24, so the biased exponent of f32(|v|) is exactly
+    127 + floor(log2|v|) and the bit length is (bits >> 23) - 126 —
+    a handful of elementwise ops instead of a [..., 15] threshold
+    broadcast + reduce."""
     a = jnp.abs(v.astype(jnp.int32))
-    thresholds = jnp.asarray([1 << k for k in range(15)], dtype=jnp.int32)
-    return jnp.sum(
-        a[..., None] >= thresholds, axis=-1, dtype=jnp.int32
-    )
+    bits = jax.lax.bitcast_convert_type(a.astype(jnp.float32), jnp.int32)
+    return jnp.where(a > 0, (bits >> 23) - 126, 0)
 
 
 def dc_dpcm(dc: jnp.ndarray, first_predictor: jnp.ndarray | None = None) -> jnp.ndarray:

@@ -205,6 +205,9 @@ def _plane_dct_zigzag_blocks(
         out = blk[:, ZIGZAG].reshape(a, b, 64)
 
     if entangle_quads:
+        # NOTE: folding this quad transpose into the (v,u)->block transpose
+        # above (one 6D shuffle) measured 1.4 ms/4K SLOWER on TPU — XLA
+        # handles the two simpler copies better. Keep them separate.
         out = out.reshape(a // 2, 2, b // 2, 2, 64).transpose(0, 2, 1, 3, 4)
     return out.reshape(-1, 64)
 
