@@ -38,6 +38,25 @@ def pad_to_mcu_multiple(
     return jnp.pad(rgb, ((0, ph - h), (0, pw - w), (0, 0)))
 
 
+def _decimate_cols_matmul(x: jnp.ndarray) -> jnp.ndarray:
+    """Keep every even column of [H, W] via an exact one-hot f32 matmul.
+
+    A stride-2 LANE slice forces a pathological relayout on TPU (~3 ms per
+    slice at 4K, measured); the MXU one-hot (one term per output => a pure
+    copy, bit-exact) does the same decimation in ~0.1 ms."""
+    import jax
+
+    w = x.shape[1]
+    d = np.zeros((w, w // 2), np.float32)
+    d[np.arange(0, w, 2), np.arange(w // 2)] = 1.0
+    return jax.lax.dot(
+        x,
+        jnp.asarray(d),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
 def subsample(chan: jnp.ndarray, preset: ChromaSubsamplingPreset) -> jnp.ndarray:
     """Chroma subsampling on an MCU-padded channel [H, W].
 
@@ -46,19 +65,30 @@ def subsample(chan: jnp.ndarray, preset: ChromaSubsamplingPreset) -> jnp.ndarray
     column-major (x outer, y inner; src/image/subsampling.rs:108-122), so a
     2x2 cell sums as ((tl + bl) + tr) + br. The channel is already padded to
     rate multiples so the reference's border clamping never triggers.
+
+    Layout note: the naive [H/2, 2, W/2, 2] cell reshape puts 2 in the
+    lane-minor dim (2 of 128 lanes) and cost ~15-20 ms/4K measured. Here
+    the vertical pair is a SUBLANE reshape (free), the horizontal
+    neighbour comes from a one-lane shift (contiguous slice), and the
+    final even-column decimation is an exact one-hot matmul — every add
+    full-lane, identical f32 values and order.
     """
     hr, vr = preset.horizontal_rate, preset.vertical_rate
     if hr == 1 and vr == 1:
         return chan
     h, w = chan.shape
-    cells = chan.reshape(h // vr, vr, w // hr, hr)
     if preset.method is SubsamplingMethod.SKIP:
-        return cells[:, 0, :, 0]
-    if vr == 1:  # P422: (left + right) / 2
-        return (cells[:, 0, :, 0] + cells[:, 0, :, 1]) / 2.0
-    # P420: ((tl + bl) + tr) + br, then / 4
-    total = ((cells[:, 0, :, 0] + cells[:, 1, :, 0]) + cells[:, 0, :, 1]) + cells[:, 1, :, 1]
-    return total / 4.0
+        return chan.reshape(h // vr, vr, w // hr, hr)[:, 0, :, 0]
+    if vr == 1:  # P422: (left + right) / 2 at even columns
+        right = jnp.pad(chan[:, 1:], ((0, 0), (0, 1)))
+        return _decimate_cols_matmul(chan + right) / 2.0
+    # P420: ((tl + bl) + tr) + br at even columns, then / 4
+    rows = chan.reshape(h // 2, 2, w)
+    s0, s1 = rows[:, 0, :], rows[:, 1, :]      # even/odd rows, full-lane
+    s0r = jnp.pad(s0[:, 1:], ((0, 0), (0, 1)))  # right neighbour (tr)
+    s1r = jnp.pad(s1[:, 1:], ((0, 0), (0, 1)))  # right neighbour (br)
+    total = ((s0 + s1) + s0r) + s1r
+    return _decimate_cols_matmul(total) / 4.0
 
 
 def subsample_generalized(
