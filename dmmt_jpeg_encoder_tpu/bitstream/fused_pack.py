@@ -59,6 +59,11 @@ TILE_ROWS = 256          # kernel rows per grid step = 512 blocks
 # of 8 on [T, 384]) at the cost of more selector-matmul rows; 128
 # measured ~0.3 ms/4K faster than 256.
 ROW_WORDS = int(os.environ.get("DMMT_ROW_WORDS", "128"))
+# Timing-only ablations (bytes become WRONG; bit lengths stay live so the
+# sequential state carry is untouched): "noac" skips AC placement, "k4"
+# clamps the AC sweep, "noroll" skips the variable roll, "nomerge" skips
+# the merge matmuls. Never set outside perf attribution jobs.
+_ABLATE = os.environ.get("DMMT_PACK_ABLATE", "")
 # Per-ROW fragment: BOTH blocks of a kernel row are adjacent in the scan
 # stream, so they share one contiguous fragment (phase <=31 bits + two
 # worst-case ~1681-bit blocks = ~3393 bits = 107 words; odd-block bit
@@ -293,35 +298,62 @@ def _emit_both(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
     start = dc_len_lane + (seg_incl - seg)
     e_ac_off = start + pre
 
+    # --- cross-lane reductions ride the MXU ------------------------------
+    # One [128, 2] half-selector matmul yields BOTH halves' lane sums at
+    # once; every summed value is < 2^24 so f32 accumulation is exact.
+    # This replaces ~14 log-tree lane reduces (each as expensive as a
+    # full-width vector op) with a handful of selects + MXU issues.
+    import jax.lax as lax
+
+    si = lax.broadcasted_iota(_I32, (128, 2), 0)
+    ci = lax.broadcasted_iota(_I32, (128, 2), 1)
+    half_sel = jnp.where((si // 64) == ci, 1.0, 0.0).astype(jnp.float32)
+
+    def half_sums(x_f32):
+        return lax.dot_general(
+            x_f32, half_sel, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        ).astype(_I32)  # [T, 2]
+
+    seg_f = seg.astype(jnp.float32)
+    zrl_f = zrl.astype(jnp.float32)
+    start_f = start.astype(jnp.float32)
+    excl_f = cz_excl.astype(jnp.float32)
+    ac_tot2 = half_sums(seg_f)
+    totz2 = half_sums(zrl_f)
+    slot_start2, slot_excl2 = [], []
+    for i in range(3):
+        hit = (cz > i) & (cz_excl <= i)  # i-th ZRL's owner lane (unique)
+        slot_start2.append(half_sums(jnp.where(hit, start_f, 0.0)))
+        slot_excl2.append(half_sums(jnp.where(hit, excl_f, 0.0)))
+
     out = []
     for half in (0, 1):
         lo = 64 * half
-        half_mask = half_id == half
         zrl_code = zrl_ents[half] >> 8
         zrl_len = zrl_ents[half] & 0xFF
         eob_code = eob_ents[half] >> 8
         eob_len = eob_ents[half] & 0xFF
         e_dc_len = dc_lens[half]
-        last_nz = jnp.max(jnp.where(half_mask, nzpos, 0), axis=1,
-                          keepdims=True)
+        # max nonzero pos = the in-half cummax at the half's last lane
+        # (prev_nz lane 63 covers pos 0..62; fold in lane 63 itself)
+        l63 = lo + 63
+        last_nz = jnp.maximum(prev_nz[:, l63 : l63 + 1],
+                              nzpos[:, l63 : l63 + 1])
         has_eob = last_nz < 63
         e_eob_len = jnp.where(has_eob, eob_len, 0)
-        ac_total = jnp.sum(jnp.where(half_mask, seg, 0), axis=1,
-                           keepdims=True)
+        ac_total = ac_tot2[:, half : half + 1]
         e_eob_off = e_dc_len + ac_total
         block_bits = e_dc_len + ac_total + e_eob_len
 
-        # --- the <=3 ZRL slots (masked reduces; no take_along_axis) -----
-        total_z = jnp.sum(jnp.where(half_mask, zrl, 0), axis=1,
-                          keepdims=True)
+        # --- the <=3 ZRL slots (MXU sums above; no take_along_axis) -----
+        total_z = totz2[:, half : half + 1]
         zrl_slots = []
         for i in range(3):
             active = total_z > i
-            hit = half_mask & (cz > i) & (cz_excl <= i)  # i-th ZRL's owner
-            start_ki = jnp.sum(jnp.where(hit, start, 0), axis=1,
-                               keepdims=True)
-            excl_ki = jnp.sum(jnp.where(hit, cz_excl, 0), axis=1,
-                              keepdims=True)
+            start_ki = slot_start2[i][:, half : half + 1]
+            excl_ki = slot_excl2[i][:, half : half + 1]
             off_i = start_ki + (i - excl_ki) * zrl_len
             len_i = jnp.where(active, zrl_len, 0)
             zrl_slots.append((zrl_code, len_i, off_i))
@@ -414,8 +446,11 @@ def _place_row_fragment_tiered(frag_ref, emis_pair, shifts, t_rows):
     base = jnp.zeros((t_rows, FRAG_WORDS), _U32)
     for h in range(2):
         base = _place_cols(base, misc_prep[h], range(2), t_rows)
-        base = _place_cols(base, ac_prep[h], range(AC_BASE), t_rows)
+        if _ABLATE != "noac":
+            base = _place_cols(base, ac_prep[h], range(AC_BASE), t_rows)
     frag_ref[:] = base
+    if _ABLATE == "noac":
+        return
 
     def pairmax(f):
         return jnp.maximum(f(emis_pair[0]), f(emis_pair[1]))
@@ -472,7 +507,13 @@ def _merge_into_staging(staging, frag, q_rel, t_rows):
 
     wide = jnp.pad(frag, ((0, 0), (0, FRAG_WIDE - FRAG_WORDS)))
     l = q_rel & (ROW_WORDS - 1)
-    rolled = _var_roll_lanes(wide, l, FRAG_WIDE, ROW_WORDS - 1)
+    if _ABLATE == "noroll":
+        rolled = wide
+    else:
+        rolled = _var_roll_lanes(wide, l, FRAG_WIDE, ROW_WORDS - 1)
+    if _ABLATE == "nomerge":
+        staging[0:16, :] = staging[0:16, :] | rolled[0:16, :ROW_WORDS]
+        return
 
     r = (q_rel // ROW_WORDS).astype(jnp.float32)  # [T, 1]
     r_max = jnp.max(q_rel) // ROW_WORDS
@@ -538,6 +579,8 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
             k_ac_rt = jnp.minimum(kdyn_ref[0, 1], k_ac)
         else:
             k_dc_rt, k_ac_rt = k_dc, k_ac
+        if _ABLATE == "k4":
+            k_ac_rt = jnp.minimum(jnp.asarray(k_ac_rt), 4)
 
         t = pl.program_id(0)
         trows = TILE_ROWS
@@ -575,13 +618,15 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         def misc_pick(l_idx, c_idx, ic):
             return jnp.where(ic > 0, misc[0, c_idx], misc[0, l_idx])
 
-        dc_ents, zrl_ents, eob_ents = [], [], []
-        for half, ic in ((0, ic_e), (1, ic_o)):
-            # DC lookup: sweep over present DC categories, [T, 1]
-            dc_ents.append(_sweep_lookup(
-                cat[:, 64 * half : 64 * half + 1], ic, dcsym, dcl, dcc,
-                k_dc_rt,
-            ))
+        # DC lookup: ONE sweep over present DC categories on the [T, 2]
+        # pair of DC lanes (a [T, 1] op costs the same vregs as [T, 2],
+        # so sweeping the halves separately doubled the cost for nothing)
+        dccat2 = jnp.concatenate([cat[:, 0:1], cat[:, 64:65]], axis=1)
+        ic2 = jnp.concatenate([ic_e, ic_o], axis=1)
+        dc2 = _sweep_lookup(dccat2, ic2, dcsym, dcl, dcc, k_dc_rt)
+        dc_ents = [dc2[:, 0:1], dc2[:, 1:2]]
+        zrl_ents, eob_ents = [], []
+        for ic in (ic_e, ic_o):
             zrl_ents.append(misc_pick(0, 1, ic))
             eob_ents.append(misc_pick(2, 3, ic))
         halves = _emit_both(
