@@ -77,6 +77,7 @@ def _compiled_onedispatch(
     width: int,
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
+    planar: bool = False,
 ):
     from .bitstream.device_pack import _interleave_scan, byteswap_words
     from .bitstream.fused_pack import fused_pack_capacity, fused_pack_words
@@ -86,7 +87,7 @@ def _compiled_onedispatch(
         device_sweep_tables,
         pad_dc_histogram,
     )
-    from .ops.color import rgb_to_ycbcr
+    from .ops.color import rgb_to_ycbcr, rgb_to_ycbcr_planes
     from .ops.geometry import (
         entangle_permutation,
         pad_to_mcu_multiple,
@@ -106,9 +107,26 @@ def _compiled_onedispatch(
     n_words = fused_pack_capacity(n_blocks * 64 + 2)  # worst case: static
 
     def program(rgb_u16, maxval, luma_q, chroma_q):
-        rgb = rgb_u16.astype(jnp.float32) / maxval
-        rgb = pad_to_mcu_multiple(rgb, preset)
-        y, cb, cr = rgb_to_ycbcr(rgb)
+        if planar:
+            # [3, H, W] channel-planar input: every op runs full-lane.
+            # An interleaved [H, W, 3] f32 chain puts 3 in the lane-minor
+            # dim (3/128 lanes, the documented poison) — planes avoid the
+            # strided channel extraction entirely. Pad the u8 planes
+            # first (black = 0 matches the reference's padder, and 0/maxval
+            # == 0.0 so padding before normalization is exact).
+            if (ph, pw) != (height, width):
+                rgb_u16 = jnp.pad(
+                    rgb_u16,
+                    ((0, 0), (0, ph - height), (0, pw - width)),
+                )
+            r = rgb_u16[0].astype(jnp.float32) / maxval
+            g = rgb_u16[1].astype(jnp.float32) / maxval
+            b = rgb_u16[2].astype(jnp.float32) / maxval
+            y, cb, cr = rgb_to_ycbcr_planes(r, g, b)
+        else:
+            rgb = rgb_u16.astype(jnp.float32) / maxval
+            rgb = pad_to_mcu_multiple(rgb, preset)
+            y, cb, cr = rgb_to_ycbcr(rgb)
         luma_zz, cb_zz, cr_zz = encode_blocks_from_planes(
             y, cb, cr, luma_q, chroma_q, preset, variant, entangle
         )
@@ -171,10 +189,18 @@ def start_one_dispatch(
     luma_q: np.ndarray,
     chroma_q: np.ndarray,
 ) -> OneDispatchState:
-    """Dispatch the full encode program (asynchronous)."""
-    height, width = int(pixels.shape[0]), int(pixels.shape[1])
+    """Dispatch the full encode program (asynchronous).
+
+    pixels: [H, W, 3] interleaved or [3, H, W] channel-planar (the planar
+    layout keeps the whole normalize/color chain full-lane on TPU)."""
+    planar = int(pixels.shape[0]) == 3 and int(pixels.shape[2]) != 3
+    if planar:
+        height, width = int(pixels.shape[1]), int(pixels.shape[2])
+    else:
+        height, width = int(pixels.shape[0]), int(pixels.shape[1])
     fn = _compiled_onedispatch(
-        height, width, config.chroma_subsampling, config.dct_variant
+        height, width, config.chroma_subsampling, config.dct_variant,
+        planar=planar,
     )
     out = fn(
         jnp.asarray(pixels),

@@ -23,9 +23,14 @@ _LEVEL_SHIFT = 128.0 / 255.0
 
 def rgb_to_ycbcr(rgb: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """rgb: f32 [..., 3] normalized to 0..1 -> (y, cb, cr) each f32 [...]."""
-    r = rgb[..., 0]
-    g = rgb[..., 1]
-    b = rgb[..., 2]
+    return rgb_to_ycbcr_planes(rgb[..., 0], rgb[..., 1], rgb[..., 2])
+
+
+def rgb_to_ycbcr_planes(
+    r: jnp.ndarray, g: jnp.ndarray, b: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Channel-planar form (same f32 op order; planes keep the lane-minor
+    dim wide on TPU — an interleaved [..., 3] array runs 3/128 lanes)."""
     y = (r * 0.299 + g * 0.587 + b * 0.114 - _LEVEL_SHIFT) * 255.0
     cb = (r * -0.1687 + g * -0.3312 + b * 0.5) * 255.0
     cr = (r * 0.5 + g * -0.4186 + b * -0.0813) * 255.0
