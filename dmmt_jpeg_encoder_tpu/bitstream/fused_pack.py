@@ -53,7 +53,10 @@ import jax.numpy as jnp
 _U32 = jnp.uint32
 _I32 = jnp.int32
 
-TILE_ROWS = 256          # kernel rows per grid step = 512 blocks
+# Kernel rows per grid step (= 2x blocks). 256 measured best at round-2
+# mid-state (512/128 were 44.0/41.4 vs 40.6); env knob for re-A/Bs as the
+# per-tile op mix changes.
+TILE_ROWS = int(os.environ.get("DMMT_TILE_ROWS", "256"))
 # Output row width (words). Narrower rows shrink the variable-roll span
 # (roll amount < ROW_WORDS => 7 digit-roll iterations on [T, 256] instead
 # of 8 on [T, 384]) at the cost of more selector-matmul rows; 128
@@ -275,8 +278,6 @@ def _emit_both(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
     aclen = ac_ent & 0xFF
     e_ac_val = jnp.where(nz, (accode << cat) | _pattern(v, cat), 0)
     e_ac_len = jnp.where(nz, aclen + cat, 0)
-    cz = _masked_cumsum(zrl, lane)
-    cz_excl = cz - zrl
 
     # --- per-half DC entries (lane 0 / lane 64) -------------------------
     dc_vals, dc_lens = [], []
@@ -291,10 +292,20 @@ def _emit_both(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
         half_id == 0, zrl_ents[0] & 0xFF, zrl_ents[1] & 0xFF
     )
 
-    # --- offsets within the block (shared masked scans) -----------------
+    # --- offsets within the block: ONE packed masked scan ---------------
+    # Three running sums ride one cumsum with disjoint bit fields (no
+    # carries cross: seg <= 74 sums to < 2^12 in [16,28); zrl <= 3 sums to
+    # < 2^8 in [8,16); nz sums to < 2^7 in [0,8)). The nonzero-rank cumsum
+    # (cumnz) feeds the rank compaction below.
     pre = zrl * zrl_len_lane
     seg = pre + e_ac_len
-    seg_incl = _masked_cumsum(seg, lane)
+    nz01 = jnp.where(nz, 1, 0)
+    packed3 = (seg << 16) | (zrl << 8) | nz01
+    packed3 = _masked_cumsum(packed3, lane)
+    seg_incl = packed3 >> 16
+    cz = (packed3 >> 8) & 0xFF
+    cumnz = packed3 & 0xFF
+    cz_excl = cz - zrl
     start = dc_len_lane + (seg_incl - seg)
     e_ac_off = start + pre
 
@@ -339,8 +350,6 @@ def _emit_both(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
     # [rank, pos] for every live element, and dead lanes (len 0) never
     # move or get moved onto a live lane. (val, len) and (d, off) ride as
     # two packed i32 arrays so each step rolls only two vregs sets.
-    nz01 = jnp.where(nz, 1, 0)
-    cumnz = _masked_cumsum(nz01, lane)
     d = jnp.where(nz, pos - cumnz, 0)
     vl = (e_ac_val << 5) | e_ac_len        # val < 2^26, len < 32
     od = (d << 12) | e_ac_off              # off < 2^12 (block < 1700 bits)
@@ -703,7 +712,10 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         q_rel = (boff_e >> 5) - base_row * ROW_WORDS
         _merge_into_staging(staging, fragbuf[:], q_rel, trows)
 
-        # DMA the window out; hand the boundary to the next tile
+        # DMA the window out; hand the boundary to the next tile.
+        # (A double-buffered variant with a dynamic staging.at[t%2] view
+        # measured 22.5 vs 16.6 ms — dynamic scratch addressing costs far
+        # more than the ~serialized copy saves.)
         dma = pltpu.make_async_copy(
             staging, out_ref.at[pl.ds(base_row, R_LOC), :], sem
         )
