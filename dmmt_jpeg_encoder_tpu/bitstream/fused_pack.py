@@ -712,10 +712,10 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         q_rel = (boff_e >> 5) - base_row * ROW_WORDS
         _merge_into_staging(staging, fragbuf[:], q_rel, trows)
 
-        # DMA the window out; hand the boundary to the next tile.
-        # (A double-buffered variant with a dynamic staging.at[t%2] view
-        # measured 22.5 vs 16.6 ms — dynamic scratch addressing costs far
-        # more than the ~serialized copy saves.)
+        # DMA the window out; hand the boundary to the next tile. The
+        # inline wait is ~free (roll/merge/DMA ablate to ~0 ms of the
+        # kernel); a double-buffered variant with a dynamic staging.at[par]
+        # view showed no win and risks slow dynamic scratch addressing.
         dma = pltpu.make_async_copy(
             staging, out_ref.at[pl.ds(base_row, R_LOC), :], sem
         )

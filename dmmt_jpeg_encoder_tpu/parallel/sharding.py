@@ -139,17 +139,16 @@ def _compiled_sharded(
             jnp.arange(cb_zz.shape[0]) < valid_rows * chroma_blocks_per_mcu_row
         )
         l_dc, l_ac = symbol_histograms(luma_zz, luma_mask)
-        cb_dc, cb_ac = symbol_histograms(cb_zz, chroma_mask)
-        cr_dc, cr_ac = symbol_histograms(cr_zz, chroma_mask)
-        hists = jax.lax.psum(
-            (l_dc, l_ac, cb_dc + cr_dc, cb_ac + cr_ac), AXIS
+        # chroma histograms are consumed summed: one pass on concat Cb/Cr
+        c_dc, c_ac = symbol_histograms(
+            jnp.concatenate([cb_zz, cr_zz], axis=0),
+            jnp.concatenate([chroma_mask, chroma_mask], axis=0),
         )
+        hists = jax.lax.psum((l_dc, l_ac, c_dc, c_ac), AXIS)
         # Per-shard histograms too ([1, ...] per shard, stacked by the out
         # spec): the host derives each shard's exact scan-bit count from
         # them for the segment merge.
-        per_shard = (
-            l_dc[None], l_ac[None], (cb_dc + cr_dc)[None], (cb_ac + cr_ac)[None]
-        )
+        per_shard = (l_dc[None], l_ac[None], c_dc[None], c_ac[None])
         return (luma_zz, cb_zz, cr_zz) + hists + per_shard
 
     sharded = shard_map(

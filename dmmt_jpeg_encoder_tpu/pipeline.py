@@ -284,16 +284,19 @@ def build_pipeline_fn(
             y, cb, cr, luma_q, chroma_q, preset, variant, entangle
         )
         l_dc, l_ac = symbol_histograms(luma_zz)
-        cb_dc, cb_ac = symbol_histograms(cb_zz)
-        cr_dc, cr_ac = symbol_histograms(cr_zz)
+        # chroma histograms are consumed summed: one exact pass over the
+        # concatenated Cb/Cr blocks instead of two
+        c_dc, c_ac = symbol_histograms(
+            jnp.concatenate([cb_zz, cr_zz], axis=0)
+        )
         return (
             luma_zz,
             cb_zz,
             cr_zz,
             l_dc,
             l_ac,
-            cb_dc + cr_dc,
-            cb_ac + cr_ac,
+            c_dc,
+            c_ac,
         )
 
     return pipeline
@@ -337,16 +340,18 @@ def _compiled_pipeline_batch(
             core, in_axes=(0, None, None, None)
         )(rgb_u16, maxval, luma_q, chroma_q)
         l_dc, l_ac = batched_symbol_histograms(luma_zz)
-        cb_dc, cb_ac = batched_symbol_histograms(cb_zz)
-        cr_dc, cr_ac = batched_symbol_histograms(cr_zz)
+        # chroma histograms are consumed summed: one pass on concat Cb/Cr
+        c_dc, c_ac = batched_symbol_histograms(
+            jnp.concatenate([cb_zz, cr_zz], axis=1)
+        )
         return (
             luma_zz,
             cb_zz,
             cr_zz,
             l_dc,
             l_ac,
-            cb_dc + cr_dc,
-            cb_ac + cr_ac,
+            c_dc,
+            c_ac,
         )
 
     return jax.jit(batched)

@@ -101,3 +101,25 @@ def test_one_dispatch_geometry_fuzz(rng, interpret):
                 EncoderConfig(chroma_subsampling=preset, scan_backend="host"),
             )
             assert d == hsot, (h, w, preset)
+
+
+def test_one_dispatch_planar_input_bytes_match(rng, interpret):
+    """[3, H, W] channel-planar input produces the same bytes as [H, W, 3]
+    (the planar path pads u8 planes first and converts per plane)."""
+    from dmmt_jpeg_encoder_tpu import onedispatch as od
+    from dmmt_jpeg_encoder_tpu.config import QuantizationTablePreset
+    from dmmt_jpeg_encoder_tpu.tables import quantization_table_pair
+
+    lq, cq = quantization_table_pair(QuantizationTablePreset.SPECIFICATION)
+    for h, w in ((48, 64), (37, 53)):
+        px = _image(rng, h, w)
+        planar = np.ascontiguousarray(px.transpose(2, 0, 1))
+        for preset in (ChromaSubsamplingPreset.P420, ChromaSubsamplingPreset.P444):
+            cfg = EncoderConfig(chroma_subsampling=preset)
+            a = od.finish_one_dispatch(
+                od.start_one_dispatch(px, 255, cfg, lq, cq), cfg
+            )
+            b = od.finish_one_dispatch(
+                od.start_one_dispatch(planar, 255, cfg, lq, cq), cfg
+            )
+            assert a[0] == b[0]
