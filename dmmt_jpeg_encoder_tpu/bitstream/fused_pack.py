@@ -494,7 +494,11 @@ def _place_row_fragment_tiered(frag_ref, emis_pair, shifts, t_rows):
 
     g_mid = pairmax(lambda e: jnp.max(e[1][1][:, AC_BASE:32])) > 0
     g32 = pairmax(lambda e: jnp.max(e[1][1][:, 32:])) > 0
+    # ZRL tiers PER SLOT: ~96% of photographic tiles contain some block
+    # with one ZRL, but blocks with two or three (>=32 consecutive zeros
+    # before a nonzero, twice) are rare — slots 1-2 get their own guard.
     gz = pairmax(lambda e: jnp.max(e[2][0][1])) > 0
+    gz12 = pairmax(lambda e: jnp.max(e[2][1][1])) > 0
 
     @pl.when(g_mid)
     def _():
@@ -514,7 +518,14 @@ def _place_row_fragment_tiered(frag_ref, emis_pair, shifts, t_rows):
     def _():
         acc = frag_ref[:]
         for h in range(2):
-            acc = _place_cols(acc, zrl_prep[h], range(3), t_rows)
+            acc = _place_cols(acc, zrl_prep[h], range(1), t_rows)
+        frag_ref[:] = acc
+
+    @pl.when(gz12)
+    def _():
+        acc = frag_ref[:]
+        for h in range(2):
+            acc = _place_cols(acc, zrl_prep[h], range(1, 3), t_rows)
         frag_ref[:] = acc
 
 
