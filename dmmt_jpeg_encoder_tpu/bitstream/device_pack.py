@@ -403,8 +403,9 @@ def _compiled_fused_pack(
             scan = _interleave_scan(luma, cb, cr, n_chroma, luma_per_mcu)
         else:
             scan = luma
+        # fused_pack_words output is already in memory byte order
         words, bits = fused_pack_words(scan, stride, lpm, sweep, n_words)
-        return byteswap_words(words), bits
+        return words, bits
 
     return jax.jit(fn)
 

@@ -723,6 +723,24 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         q_rel = (boff_e >> 5) - base_row * ROW_WORDS
         _merge_into_staging(staging, fragbuf[:], q_rel, trows)
 
+        new_bits = bit_base + tile_bits
+        new_base = (new_bits // (32 * ROW_WORDS)) & ~7
+        d_r = pl.multiple_of(new_base - base_row, 8)
+        # carry rows hand off UNSWAPPED; the window then byteswaps to
+        # big-endian IN VMEM so the output stream needs no whole-buffer
+        # XLA byteswap pass (the buffer is worst-case sized — swapping
+        # all of it cost ~67 MB of HBM traffic for a ~0.5 MB stream).
+        # Every output row's FINAL writer is some tile's DMA, so rows a
+        # later window rewrites are re-derived from the unswapped carry.
+        carry[:] = staging[pl.ds(d_r, 16), :]
+        s = staging[:]
+        staging[:] = (
+            (s << 24)
+            | ((s & 0xFF00) << 8)
+            | ((s >> 8) & 0xFF00)
+            | (s >> 24)
+        )
+
         # DMA the window out; hand the boundary to the next tile. The
         # inline wait is ~free (roll/merge/DMA ablate to ~0 ms of the
         # kernel); a double-buffered variant with a dynamic staging.at[par]
@@ -733,10 +751,6 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         dma.start()
         dma.wait()
 
-        new_bits = bit_base + tile_bits
-        new_base = (new_bits // (32 * ROW_WORDS)) & ~7
-        d_r = pl.multiple_of(new_base - base_row, 8)
-        carry[:] = staging[pl.ds(d_r, 16), :]
         state[0] = new_bits
         state[1] = new_base
         nbits_ref[0, 0] = new_bits
@@ -761,7 +775,9 @@ def fused_pack_words(
     valid: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Scan-order zigzag blocks [N, 64] (int, DC already DPCM) -> packed
-    big-endian u32 word stream + total bit count, one Pallas dispatch.
+    u32 word stream + total bit count, one Pallas dispatch. Words are
+    byteswapped to MEMORY (big-endian stream) order in-kernel — callers
+    view the result as bytes directly, no byteswap_words pass needed.
 
     sweep: build_sweep_tables output (device or numpy arrays).
     adj: optional [N] int32 per-block bit adjustments added to the running

@@ -177,7 +177,8 @@ def _compiled_onedispatch(
             [t["n_present"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
         )
         return (
-            byteswap_words(words), total_bits, spec_syms, spec_lens, spec_ns,
+            # fused_pack_words output is already in memory byte order
+            words, total_bits, spec_syms, spec_lens, spec_ns,
             l_dc, l_ac, c_dc, c_ac,
         )
 

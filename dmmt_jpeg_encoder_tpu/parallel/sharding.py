@@ -340,8 +340,8 @@ def _compiled_shard_pack(
             words, _ = fused_pack_words(
                 scan, blocks_per_mcu, luma_per_mcu, sweep, words_cap,
                 valid=bmask,
-            )
-            return byteswap_words(words)[None]
+            )  # already in memory byte order
+            return words[None]
         values, lens, offs, bits = block_emissions(
             scan, jnp.asarray(table_idx), dc_comb, ac_comb
         )

@@ -68,7 +68,12 @@ def _reference_words(blocks, is_chroma, ldc, lac, cdc, cac, cap):
         jnp.asarray(dc_comb),
         jnp.asarray(ac_comb),
     )
-    return pack_to_words(values, lens, offs, block_bits, cap)
+    words, bits = pack_to_words(values, lens, offs, block_bits, cap)
+    # fused_pack_words emits words already in MEMORY (big-endian stream)
+    # order; swap the logical-order reference to match
+    from dmmt_jpeg_encoder_tpu.bitstream.device_pack import byteswap_words
+
+    return byteswap_words(words), bits
 
 
 @pytest.mark.parametrize("luma_per_mcu,n_mcu", [(1, 40), (2, 30), (4, 25)])
