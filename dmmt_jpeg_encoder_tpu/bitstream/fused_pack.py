@@ -351,17 +351,23 @@ def _emit_both(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
     # move or get moved onto a live lane. (val, len) and (d, off) ride as
     # two packed i32 arrays so each step rolls only two vregs sets.
     d = jnp.where(nz, pos - cumnz, 0)
-    vl = (e_ac_val << 5) | e_ac_len        # val < 2^26, len < 32
-    od = (d << 12) | e_ac_off              # off < 2^12 (block < 1700 bits)
+    # (val, len) pack as UNSIGNED 27+5 bits: val = (code << cat) | pattern
+    # can reach 27 bits (16-bit codeword, category 11), so an i32 pack
+    # would overflow into the sign bit and sign-extend on unpack.
+    vl = (lax.bitcast_convert_type(e_ac_val, _U32) << 5) | (
+        lax.bitcast_convert_type(e_ac_len, _U32)
+    )
+    od = (d << 12) | e_ac_off              # off < 2^12 (block < 1730 bits)
+    u31 = jnp.uint32(31)
     for s in (1, 2, 4, 8, 16, 32):
         rvl = pltpu.roll(vl, 128 - s, axis=1)
         rod = pltpu.roll(od, 128 - s, axis=1)
-        cond = (((rod >> 12) & s) > 0) & ((rvl & 31) > 0)
+        cond = (((rod >> 12) & s) > 0) & ((rvl & u31) > 0)
         self_mov = ((od >> 12) & s) > 0
-        vl = jnp.where(cond, rvl, jnp.where(self_mov, vl & ~31, vl))
+        vl = jnp.where(cond, rvl, jnp.where(self_mov, vl & ~u31, vl))
         od = jnp.where(cond, rod - (s << 12), od)
-    e_ac_val = vl >> 5
-    e_ac_len = vl & 31
+    e_ac_val = lax.bitcast_convert_type(vl >> jnp.uint32(5), _I32)
+    e_ac_len = lax.bitcast_convert_type(vl & u31, _I32)
     e_ac_off = od & 0xFFF
 
     out = []

@@ -233,12 +233,17 @@ def encode_blocks_from_planes(
         luma_zz = _plane_dct_zigzag_blocks(
             y, luma_q, entangle is not None, mode
         )
-        cb_zz = _plane_dct_zigzag_blocks(
-            subsample(cb, preset), chroma_q, False, mode
+        # ONE chroma chain: Cb/Cr stacked vertically run the identical
+        # per-8x8-block math (rows stay block-aligned), halving the
+        # chroma chain's XLA kernel launches; split back after (raster
+        # block order = all Cb rows then all Cr rows)
+        cbcr = jnp.concatenate(
+            [subsample(cb, preset), subsample(cr, preset)], axis=0
         )
-        cr_zz = _plane_dct_zigzag_blocks(
-            subsample(cr, preset), chroma_q, False, mode
-        )
+        cbcr_zz = _plane_dct_zigzag_blocks(cbcr, chroma_q, False, mode)
+        nc = cbcr_zz.shape[0] // 2
+        cb_zz = cbcr_zz[:nc]
+        cr_zz = cbcr_zz[nc:]
     else:
         if entangle is not None:
             # P420: straight to MCU-quad order via reshape/transpose

@@ -133,3 +133,55 @@ def test_fused_pack_with_adjustments(rng, interpret):
     )
     assert int(np.asarray(shifted[:base_words]).sum()) == 0
     assert int(total) == int(bits) + base_words * 32
+
+
+def test_fused_pack_27bit_emission_value(rng, interpret):
+    """A 16-bit codeword paired with a category-11 coefficient makes a
+    27-bit emission VALUE. The rank-compaction (val, len) pack must keep
+    all 27 bits (an i32 '<< 5' pack overflows the sign bit and unpacks
+    sign-extended — regression for exactly that)."""
+    lpm = 1
+    stride = lpm + 2
+    n_mcu = 4
+    blocks = np.zeros((n_mcu * stride, 64), np.int16)
+    # luma block 0: (run 0, cat 11) -> 16-bit code + 11 magnitude bits
+    blocks[0, 1] = 1500
+    blocks[0, 2] = -1200
+    blocks[0, 10] = 3          # (run 7, cat 2)
+    blocks[3, 5] = -1          # (run 4, cat 1)
+    is_chroma = (np.arange(n_mcu * stride) % stride) >= lpm
+
+    def flat(n, entries):
+        codes = np.zeros(n, np.int64)
+        lens = np.zeros(n, np.int64)
+        for sym, code, ln in entries:
+            codes[sym] = code
+            lens[sym] = ln
+        return codes, lens
+
+    # handcrafted tables: the packer only looks codes up, and both the
+    # fused kernel and the staged reference get the SAME tables
+    ldc = flat(16, [(0, 0b101, 3)])
+    lac = flat(256, [
+        (0x0B, 0xFFFE, 16),   # run 0, cat 11 -> the 27-bit emission
+        (0x0A, 0x3FFE, 14),   # run 0, cat 10 (the -1200 coefficient)
+        (0x72, 0x6, 3),       # run 7, cat 2
+        (0x41, 0x2, 3),       # run 4, cat 1
+        (0x00, 0x0, 2),       # EOB
+    ])
+    cdc = flat(16, [(0, 0b1, 2)])
+    cac = flat(256, [(0x00, 0x3, 2)])
+
+    cap = fused_pack_capacity(blocks.shape[0] * 64 + 2)
+    ref_words, ref_bits = _reference_words(
+        blocks, is_chroma, ldc, lac, cdc, cac, cap
+    )
+    sweep = build_sweep_tables(ldc, lac, cdc, cac)
+    words, bits = fused_pack_words(
+        jnp.asarray(blocks), stride, lpm, sweep, cap
+    )
+    assert int(bits) == int(ref_bits)
+    used = (int(ref_bits) + 31) // 32
+    np.testing.assert_array_equal(
+        np.asarray(words[:used]), np.asarray(ref_words[:used])
+    )
