@@ -362,7 +362,9 @@ def _emit_both(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
     for s in (1, 2, 4, 8, 16, 32):
         rvl = pltpu.roll(vl, 128 - s, axis=1)
         rod = pltpu.roll(od, 128 - s, axis=1)
-        cond = (((rod >> 12) & s) > 0) & ((rvl & u31) > 0)
+        # u32 equality is safe on Mosaic; ordered unsigned compares may
+        # not be — keep the liveness test as != 0
+        cond = (((rod >> 12) & s) > 0) & ((rvl & u31) != 0)
         self_mov = ((od >> 12) & s) > 0
         vl = jnp.where(cond, rvl, jnp.where(self_mov, vl & ~u31, vl))
         od = jnp.where(cond, rod - (s << 12), od)
