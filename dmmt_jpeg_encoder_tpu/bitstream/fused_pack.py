@@ -10,23 +10,29 @@ performs, entirely in VMEM:
    over only the symbols PRESENT in this image's tables, read from SMEM),
    per-block bit lengths, and the running global bit offset (carried
    across the sequential grid in SMEM — TPU grids execute in order).
-2. FRAGMENT — each kernel row's TWO scan-adjacent blocks' emissions
-   placed contiguously into one private 128-word row fragment
-   pre-shifted by the row's global bit phase (lane-iota compares, no
-   scatter) — one fragment per row halves the merge work below.
+2. FRAGMENT — each block half's AC emissions are first COMPACTED to
+   nonzero-rank lanes (collision-free binary-doubling rolls: with
+   distinct, monotone destinations every intermediate position stays
+   ordered inside [rank, pos]), then each kernel row's TWO scan-adjacent
+   blocks' emissions are placed contiguously into one private 128-word
+   row fragment pre-shifted by the row's global bit phase (lane-iota
+   compares, no scatter). Cross-lane reductions (ZRL slot owners, block
+   bit totals) ride the MXU via a [128, 2] half-selector matmul.
 3. MERGE — fragments lane-rolled to their word phase with VECTORIZED
    binary-digit shifts (static pltpu.roll + one per-row select per bit),
    then accumulated into output rows with byte-plane MXU matmuls: the
    block->row assignment matrix M[r, i] = (row(i) == r) turns the monotone
    scatter into M @ fragments. Bit-disjointness of the stream makes every
    add an OR, and per-byte sums stay < 256, so single-pass bf16 matmuls
-   are bit-exact. The staging window is DMA'd to HBM per tile with a
-   16-row carry to the next tile (same contract as pallas_pack's merge).
+   are bit-exact. The staging window byteswaps to stream order in VMEM
+   and is DMA'd to HBM per tile with a 16-row carry to the next tile
+   (same contract as pallas_pack's merge).
 
-Both FRAGMENT and MERGE are TIERED on per-tile content guards: high
-zigzag slots, ZRL slots, and the full-height selector matmul only run
-when some block in the tile needs them — typical photographic tiles use
-the cheap paths throughout.
+Both FRAGMENT and MERGE are TIERED on per-tile content guards: AC rank
+slots beyond 12, ZRL slots (per slot index), and the full-height
+selector matmul only run when some block in the tile needs them —
+typical photographic tiles (p99 = 7 nonzeros per block) use the cheap
+paths throughout.
 
 This removes the [N,68] value/len/offset HBM intermediates (~160 MB of
 traffic per 4K image) and the serial per-block merge walk (~10 ms/4K).
