@@ -364,11 +364,12 @@ def device_pack_scan(
 
 
 def _use_pallas_pack() -> bool:
-    import os
+    # Capability probe, not a backend-name check (VERDICT r2 #7): a
+    # trivial pallas_call lowering attempt, cached per process, with a
+    # stderr diagnostic when a non-CPU backend falls back.
+    from ..utils.capability import pallas_capable
 
-    return jax.default_backend() == "tpu" or bool(
-        os.environ.get("DMMT_PALLAS_INTERPRET")
-    )
+    return pallas_capable()
 
 
 def _use_fused_pack() -> bool:

@@ -84,7 +84,12 @@ def fused_dct_quantize_zigzag(
     """[N, 8, 8] f32 blocks + uint8[64] raster table -> int16 [N, 64] zigzag.
 
     Drop-in replacement for dct2d(...) + quantize_zigzag(...)."""
-    if jax.default_backend() != "tpu":
+    import os
+
+    from ..utils.capability import pallas_capable
+
+    interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
+    if not interpret and not pallas_capable():
         return fused_reference(blocks, qtable_raster)
 
     from jax.experimental import pallas as pl
@@ -113,5 +118,6 @@ def fused_dct_quantize_zigzag(
             bytes_accessed=n_pad * 64 * 4 * 2 + 64 * 64 * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(x, m)
     return out[:n].astype(jnp.int16)

@@ -17,6 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..utils.capability import pallas_capable
+
 # 256 x 128 = 32K symbols per grid step (tile 128 KB in VMEM); the per-bin
 # loop reduces each tile once per bin, all on the VPU.
 TILE_ROWS = 256
@@ -100,7 +102,7 @@ def pallas_histogram(
     flat_s = symbols.reshape(-1).astype(jnp.int32)
     flat_w = weights.reshape(-1).astype(jnp.float32)
     interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
-    if jax.default_backend() != "tpu" and not interpret:
+    if not interpret and not pallas_capable():
         return jnp.zeros((n_bins,), jnp.int32).at[flat_s].add(
             flat_w.astype(jnp.int32), mode="drop"
         )
@@ -159,7 +161,7 @@ def pallas_histogram_grouped(
 
     g, m = symbols.shape
     interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
-    if jax.default_backend() != "tpu" and not interpret:
+    if not interpret and not pallas_capable():
         flat_s = symbols.astype(jnp.int32) + (
             jnp.arange(g, dtype=jnp.int32)[:, None] * n_bins
         )

@@ -23,6 +23,8 @@ import os
 import jax
 import jax.numpy as jnp
 
+from ..utils.capability import pallas_capable
+
 TILE_ROWS = 64  # x 128 lanes = 8192 lookups per grid step
 LANES = 128
 
@@ -52,7 +54,7 @@ def pallas_table_lookup(symbols: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray
     mode for testing).
     """
     interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
-    if jax.default_backend() != "tpu" and not interpret:
+    if not interpret and not pallas_capable():
         return table[symbols]
 
     from jax.experimental import pallas as pl
@@ -116,7 +118,7 @@ def pallas_table_lookup_grouped(
     interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
     g, m = symbols.shape
     t = tables.shape[1]
-    if jax.default_backend() != "tpu" and not interpret:
+    if not interpret and not pallas_capable():
         flat_idx = symbols.astype(jnp.int32) + (
             jnp.arange(g, dtype=jnp.int32)[:, None] * t
         )

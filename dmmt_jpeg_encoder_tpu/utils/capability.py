@@ -1,0 +1,85 @@
+"""Pallas capability probe: can this backend run our Mosaic TPU kernels?
+
+VERDICT r2 #7: the hot-path gating used to key on the backend NAME
+(``jax.default_backend() == "tpu"``). A TPU-like platform registered
+under a different name (this environment's plugin is literally called
+"axon", even though its PJRT platform resolves to "tpu") would silently
+degrade every hot path to the XLA scatter fallback. Instead we probe the
+real capability once per process: lower a trivial ``pallas_call`` for the
+default backend. Lowering runs the Mosaic serialization host-side (no
+remote compile, no device execution) and fails precisely when the
+platform has no Mosaic lowering rule — i.e. exactly when the fused
+kernels could not run.
+
+Environment overrides:
+- ``DMMT_PALLAS_INTERPRET=1``: kernels run in interpret mode (tests);
+  always capable.
+- ``DMMT_FORCE_PALLAS=1`` / ``=0``: skip the probe and force the answer
+  (escape hatch for a platform where lowering succeeds but execution is
+  broken, or vice versa).
+
+When the probe fails on a non-CPU backend — a TPU-looking platform that
+cannot take the fused path — one diagnostic line goes to stderr so the
+degradation is never silent.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["pallas_capable"]
+
+
+def pallas_capable() -> bool:
+    """True when Pallas TPU kernels can run on the default backend.
+
+    Env flags are read fresh on every call (tests toggle
+    DMMT_PALLAS_INTERPRET via monkeypatch); only the lowering probe
+    itself is cached per process.
+    """
+    if os.environ.get("DMMT_PALLAS_INTERPRET"):
+        return True
+    force = os.environ.get("DMMT_FORCE_PALLAS")
+    if force is not None and force != "":
+        return force not in ("0", "false", "False")
+    return _probe_lowering()
+
+
+@lru_cache(maxsize=1)
+def _probe_lowering() -> bool:
+    try:
+        from jax.experimental import pallas as pl
+
+        def _kernel(x_ref, o_ref):
+            o_ref[...] = x_ref[...] + jnp.float32(1)
+
+        fn = pl.pallas_call(
+            _kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        )
+        # Host-side lowering only (Mosaic serialization); no device
+        # compile, no execution, no data upload.
+        jax.jit(fn).lower(jax.ShapeDtypeStruct((8, 128), jnp.float32))
+        return True
+    except Exception as exc:  # no Mosaic lowering for this platform
+        backend = "<uninitialized>"
+        try:
+            backend = jax.default_backend()
+        except Exception:
+            pass
+        if backend != "cpu":
+            # Never silent on real hardware: the scatter fallback costs
+            # ~8-10 ns/element on this TPU (CLAUDE.md) — say so once.
+            print(
+                f"dmmt-jpeg-tpu: Pallas probe failed on backend "
+                f"{backend!r} ({type(exc).__name__}: {exc}); falling back "
+                f"to XLA gather/scatter paths (expect a large slowdown). "
+                f"Set DMMT_FORCE_PALLAS=1 to override.",
+                file=sys.stderr,
+            )
+        return False
