@@ -9,8 +9,8 @@ fixture x {P444,P422,P420} x {Specification,Flat} x {ARAI,FUSED}.
 Any kernel rewrite that changes output bytes fails here and must be
 explicitly re-goldened:
 
-    DMMT_REGOLDEN=1 python -m pytest tests/test_goldens.py -q
-    git diff tests/goldens.json   # review, then commit
+    python tests/test_goldens.py   # regenerates goldens.json
+    git diff tests/goldens.json    # review, then commit
 
 The hashes are produced on the CPU backend with the host scan packer; the
 device packer and TPU backend are asserted byte-equal to this path by
@@ -21,8 +21,14 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
+import sys
 from pathlib import Path
+
+if __name__ == "__main__":  # script mode: repo root on path, CPU backend
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
@@ -83,8 +89,6 @@ def goldens():
     ids=[_key(*c) for c in _cases()],
 )
 def test_golden_bytes(fixtures_dir, goldens, fixture, preset, table, variant):
-    if os.environ.get("DMMT_REGOLDEN"):
-        pytest.skip("regeneration run")
     key = _key(fixture, preset, table, variant)
     assert key in goldens, f"missing golden for {key} — run DMMT_REGOLDEN=1"
     jpeg = _encode(fixtures_dir, fixture, preset, table, variant)
@@ -97,10 +101,11 @@ def test_golden_bytes(fixtures_dir, goldens, fixture, preset, table, variant):
     assert len(jpeg) == goldens[key]["size"]
 
 
-def test_regolden(fixtures_dir):
-    """Regenerates goldens.json when DMMT_REGOLDEN=1 (no-op otherwise)."""
-    if not os.environ.get("DMMT_REGOLDEN"):
-        pytest.skip("set DMMT_REGOLDEN=1 to regenerate")
+def regolden(fixtures_dir: Path) -> None:
+    """Regenerate goldens.json (run as: python tests/test_goldens.py).
+
+    Deliberately NOT a test: a regeneration mode inside the suite showed
+    up as a perpetual skip (VERDICT r2 #9)."""
     out = {}
     for fixture, preset, table, variant in _cases():
         jpeg = _encode(fixtures_dir, fixture, preset, table, variant)
@@ -109,3 +114,8 @@ def test_regolden(fixtures_dir):
             "size": len(jpeg),
         }
     GOLDENS_PATH.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+
+
+if __name__ == "__main__":
+    regolden(Path("/root/reference/tests"))
+    print(f"wrote {GOLDENS_PATH}")
