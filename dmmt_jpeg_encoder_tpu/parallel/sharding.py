@@ -87,14 +87,18 @@ def _dc_handoff(zz: jnp.ndarray, num_shards: int) -> jnp.ndarray:
     return zz.at[:, 0].set(dc_dpcm(zz[:, 0], first_predictor=prev[0]))
 
 
-@lru_cache(maxsize=16)
-def _compiled_sharded(
+def _make_phase1(
     height: int,
     width: int,
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
     num_shards: int,
 ):
+    """Shared per-shard phase-1 body: slab pixels -> globally-DPCM'd zigzag
+    blocks + psum'd global histograms + this shard's valid-row count.
+
+    Used by both the two-dispatch program (_compiled_sharded) and the
+    fused one-dispatch program (_compiled_sharded_onedispatch)."""
     ph, pw, rows_per_shard, valid_mcu_rows = _shard_geometry(
         height, width, preset, num_shards
     )
@@ -105,9 +109,7 @@ def _compiled_sharded(
     chroma_w = pw // preset.horizontal_rate
     chroma_blocks_per_mcu_row = chroma_w // 8
 
-    mesh = build_mesh(num_shards)
-
-    def per_shard(rgb_u16, maxval, luma_q, chroma_q):
+    def phase1(rgb_u16, maxval, luma_q, chroma_q):
         s = jax.lax.axis_index(AXIS)
         valid_rows = jnp.clip(
             valid_mcu_rows - s * rows_per_shard, 0, rows_per_shard
@@ -145,6 +147,29 @@ def _compiled_sharded(
             jnp.concatenate([chroma_mask, chroma_mask], axis=0),
         )
         hists = jax.lax.psum((l_dc, l_ac, c_dc, c_ac), AXIS)
+        locals_ = (l_dc, l_ac, c_dc, c_ac)
+        return (luma_zz, cb_zz, cr_zz), hists, locals_, valid_rows
+
+    geom = (ph, pw, rows_per_shard, valid_mcu_rows)
+    return phase1, geom
+
+
+@lru_cache(maxsize=16)
+def _compiled_sharded(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    num_shards: int,
+):
+    phase1, geom = _make_phase1(height, width, preset, variant, num_shards)
+    mesh = build_mesh(num_shards)
+
+    def per_shard(rgb_u16, maxval, luma_q, chroma_q):
+        (luma_zz, cb_zz, cr_zz), hists, locals_, _ = phase1(
+            rgb_u16, maxval, luma_q, chroma_q
+        )
+        l_dc, l_ac, c_dc, c_ac = locals_
         # Per-shard histograms too ([1, ...] per shard, stacked by the out
         # spec): the host derives each shard's exact scan-bit count from
         # them for the segment merge.
@@ -169,7 +194,124 @@ def _compiled_sharded(
             P(AXIS, None),
         ),
     )
-    return jax.jit(sharded), mesh, (ph, pw, rows_per_shard, valid_mcu_rows)
+    return jax.jit(sharded), mesh, geom
+
+
+@lru_cache(maxsize=16)
+def _compiled_sharded_onedispatch(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    num_shards: int,
+):
+    """The WHOLE sharded encode as ONE jit program (VERDICT r2 #4).
+
+    Every shard: phase-1 on its slab -> psum'd global histograms ->
+    device package-merge + canonical codes (identical in every shard, the
+    reference's whole-image tables: transformer.rs:201-207) -> fused
+    Pallas pack of its own scan segment. Outputs per-shard word streams +
+    bit counts plus the replicated table spec; the host only bit-merges.
+    The two-dispatch path's mid-image sync (fetch histograms, build
+    tables on host, dispatch the packer) disappears."""
+    from ..bitstream.device_pack import _interleave_scan
+    from ..bitstream.fused_pack import fused_pack_capacity, fused_pack_words
+    from ..huffman.device_tables import (
+        device_code_tables_batched,
+        device_sweep_tables,
+        pad_dc_histogram,
+    )
+    from ..onedispatch import K_AC_CAP, K_DC_CAP
+
+    phase1, geom = _make_phase1(height, width, preset, variant, num_shards)
+    ph, pw, rows_per_shard, valid_mcu_rows = geom
+    mesh = build_mesh(num_shards)
+
+    shard_h = rows_per_shard * preset.mcu_height
+    nl_s = (shard_h // 8) * (pw // 8)
+    nc_s = (shard_h // preset.vertical_rate // 8) * (
+        pw // preset.horizontal_rate // 8
+    )
+    lpm = preset.luma_blocks_per_mcu
+    stride = lpm + 2
+    ns = nl_s + 2 * nc_s
+    mcus_per_row = pw // preset.mcu_width
+    words_cap = fused_pack_capacity(ns * 64 + 2)  # worst case: static
+
+    def per_shard(rgb_u16, maxval, luma_q, chroma_q):
+        (luma_zz, cb_zz, cr_zz), hists, _, valid_rows = phase1(
+            rgb_u16, maxval, luma_q, chroma_q
+        )
+        l_dc, l_ac, c_dc, c_ac = hists  # psum'd: identical in every shard
+
+        t_all = device_code_tables_batched(
+            jnp.stack(
+                [
+                    pad_dc_histogram(l_dc),
+                    l_ac.astype(jnp.int32),
+                    pad_dc_histogram(c_dc),
+                    c_ac.astype(jnp.int32),
+                ]
+            )
+        )
+        t_ldc, t_lac, t_cdc, t_cac = (
+            {k: v[i] for k, v in t_all.items()} for i in range(4)
+        )
+        dc_s, dc_la, dc_ca, k_dc = device_sweep_tables(t_ldc, t_cdc, K_DC_CAP)
+        ac_s, ac_la, ac_ca, k_ac = device_sweep_tables(t_lac, t_cac, K_AC_CAP)
+        l_ent = (t_lac["codes_flat"] << 8) | t_lac["lens_flat"]
+        c_ent = (t_cac["codes_flat"] << 8) | t_cac["lens_flat"]
+        misc = jnp.stack([l_ent[0xF0], c_ent[0xF0], l_ent[0x00], c_ent[0x00]])
+
+        scan = _interleave_scan(luma_zz, cb_zz, cr_zz, nc_s, lpm)
+        # Alignment-padding MCUs (a suffix in scan order) emit nothing.
+        valid_blocks = valid_rows * mcus_per_row * stride
+        bmask = jnp.arange(ns, dtype=jnp.int32) < valid_blocks
+        words, shard_bits = fused_pack_words(
+            scan, stride, lpm,
+            (dc_s, dc_la, dc_ca, ac_s, ac_la, ac_ca, misc),
+            words_cap,
+            k_dyn=jnp.stack([k_dc, k_ac]),
+            valid=bmask,
+        )
+        spec_syms = jnp.stack(
+            [t["sym_by_leaf"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
+        )
+        spec_lens = jnp.stack(
+            [t["len_by_leaf"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
+        )
+        spec_ns = jnp.stack(
+            [t["n_present"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
+        )
+        return (
+            words[None], shard_bits[None],
+            spec_syms, spec_lens, spec_ns,
+        ) + hists
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(AXIS, None, None), P(), P(None), P(None)),
+        out_specs=(
+            P(AXIS, None),  # per-shard packed words
+            P(AXIS),        # per-shard bit counts
+            P(), P(), P(),  # replicated table spec
+            P(), P(), P(), P(),  # global histograms (debug cross-check)
+        ),
+        # pallas_call outputs inside shard_map carry no varying-mesh-axes
+        # metadata; the per-shard packer is manifestly per-shard data
+        check_vma=False,
+    )
+    return jax.jit(sharded), mesh, geom
+
+
+def _use_sharded_onedispatch(config: EncoderConfig, height: int, width: int) -> bool:
+    from ..bitstream.device_pack import _use_fused_pack
+    from ..onedispatch import one_dispatch_supported
+
+    return _use_fused_pack() and one_dispatch_supported(
+        height, width, config.chroma_subsampling
+    )
 
 
 def _run_sharded_raw(
@@ -374,27 +516,130 @@ def start_sharded_encode(
     maxval: int,
     config: EncoderConfig,
 ) -> tuple:
-    """Dispatch the sharded phase-1 program WITHOUT synchronizing.
+    """Dispatch the sharded encode WITHOUT synchronizing.
+
+    When the fused packer is available this dispatches the ONE-program
+    variant (_compiled_sharded_onedispatch): phase-1, psum'd histograms,
+    device table build, and per-shard fused packing in a single jit —
+    no mid-image sync. Otherwise the two-dispatch path runs (phase-1
+    now; table build + packer dispatch in finish).
 
     JAX dispatch is asynchronous, so the caller can start image i+1's
     device work (or finish image i's host tail) before this image's
-    histograms are fetched — the batch pipeline composes sharding with
+    results are fetched — the batch pipeline composes sharding with
     batching this way. Returns an opaque state for finish_sharded_encode."""
     luma_q, chroma_q = quantization_table_pair(
         config.quantization_preset, config.quality
     )
+    height, width = int(pixels.shape[0]), int(pixels.shape[1])
+    if _use_sharded_onedispatch(config, height, width):
+        fn, mesh, geom = _compiled_sharded_onedispatch(
+            height, width, config.chroma_subsampling, config.dct_variant,
+            config.num_shards,
+        )
+        ph, pw = geom[0], geom[1]
+        padded = np.zeros((ph, pw, 3), dtype=pixels.dtype)
+        padded[:height, :width] = pixels
+        outputs = fn(
+            jnp.asarray(padded),
+            jnp.float32(maxval),
+            jnp.asarray(luma_q),
+            jnp.asarray(chroma_q),
+        )
+        return ("onedispatch", outputs, geom, (height, width))
     outputs, geom = _run_sharded_raw(pixels, maxval, config, luma_q, chroma_q)
-    return outputs, geom
+    return ("twodispatch", outputs, geom)
+
+
+# Previous max per-shard stream size by geometry: lets the one-dispatch
+# finish fetch the word slices TOGETHER with bits + table spec in one
+# device round trip (sized ~20% above the last encode), instead of a
+# second round trip after learning the bit counts.
+_LAST_SHARD_BITS: dict[tuple, int] = {}
+
+
+def _finish_sharded_onedispatch(
+    state: tuple, config: EncoderConfig
+) -> tuple[bytes, "object"]:
+    from ..bitstream.device_pack import _check_bits_enabled, exact_scan_bits
+    from ..encoder import HuffmanTables
+    from ..huffman.canonical import flat_code_arrays
+    from ..huffman.spec import SymbolCodeLength
+
+    _, outputs, geom, (height, width) = state
+    n = config.num_shards
+    words_d, bits_d, syms_d, lens_d, ns_d = outputs[:5]
+    key = (height, width, config.chroma_subsampling, config.quality,
+           config.quantization_preset, n)
+    guess = _LAST_SHARD_BITS.get(key)
+    wslice = None
+    if guess is not None:
+        gw = min(int(words_d.shape[1]), ((guess + guess // 5) + 31) // 32 + 8)
+        bits, syms, lens, ns_arr, wslice = jax.device_get(
+            (bits_d, syms_d, lens_d, ns_d, words_d[:, :gw])
+        )
+    else:
+        bits, syms, lens, ns_arr = jax.device_get(
+            (bits_d, syms_d, lens_d, ns_d)
+        )
+    lists = []
+    for t in range(4):
+        k = int(ns_arr[t])
+        lists.append(
+            [SymbolCodeLength(int(syms[t, i]), int(lens[t, i])) for i in range(k)]
+        )
+    tables = HuffmanTables(
+        luma_dc=lists[0], luma_ac=lists[1], chroma_dc=lists[2],
+        chroma_ac=lists[3],
+    )
+    if _check_bits_enabled():
+        ghists = jax.device_get(outputs[5:9])
+        predicted = exact_scan_bits(
+            ghists,
+            flat_code_arrays(tables.luma_dc),
+            flat_code_arrays(tables.luma_ac),
+            flat_code_arrays(tables.chroma_dc),
+            flat_code_arrays(tables.chroma_ac),
+        )
+        if predicted != int(bits.sum()):
+            raise AssertionError(
+                f"sharded one-dispatch packed {int(bits.sum())} bits but "
+                f"histograms x device tables predict {predicted}"
+            )
+    _LAST_SHARD_BITS[key] = int(bits.max())
+    needed = [(int(b) + 31) // 32 for b in bits]
+    max_needed = max(needed) if needed else 0
+    if wslice is None or max_needed > wslice.shape[1]:
+        host_words = jax.device_get(words_d[:, :max_needed])
+    else:
+        host_words = wslice
+    chunks = [
+        (host_words[i, : needed[i]].view(np.uint8), int(bits[i]))
+        for i in range(n)
+    ]
+    merged, total_bits = merge_bit_streams(chunks)
+    pad = len(merged) * 8 - total_bits
+    if pad:
+        merged[-1] |= (1 << pad) - 1  # JPEG 1-padding
+    ff = np.flatnonzero(merged == 0xFF)
+    if len(ff):
+        merged = np.insert(merged, ff + 1, 0)
+    return merged.tobytes(), tables
 
 
 def finish_sharded_encode(
     state: tuple,
     config: EncoderConfig,
 ) -> tuple[bytes, "object"]:
-    """Synchronize a start_sharded_encode dispatch: global tables from the
-    psum'd histograms, per-shard device packing, host bit-merge.
+    """Synchronize a start_sharded_encode dispatch.
 
-    Returns (stuffed scan bytes, HuffmanTables)."""
+    One-dispatch states need only the fetch + host bit-merge; two-dispatch
+    states build global tables from the psum'd histograms on host, then
+    dispatch the per-shard packer. Returns (stuffed scan bytes,
+    HuffmanTables)."""
+    if state[0] == "onedispatch":
+        return _finish_sharded_onedispatch(state, config)
+    state = state[1:]
     from ..bitstream.device_pack import (
         combine_tables,
         exact_scan_bits,
