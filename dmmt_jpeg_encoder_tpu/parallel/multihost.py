@@ -1,26 +1,41 @@
-"""Multi-host encode entry points.
+"""Multi-host encode: process wiring + per-process data feeding.
 
 The reference is strictly single-process (SURVEY.md §2: no MPI/NCCL/
 sockets). This framework scales the same shard_map program from one chip to
-a multi-host slice: the mesh simply spans all processes' devices, XLA
-routes the psum'd histograms and the ppermute DC hand-off over ICI within a
-host and DCN across hosts — nothing else crosses chips (parallel/
-sharding.py). These helpers wire up the process group and build the global
-mesh.
+a multi-host slice: the mesh spans all processes' devices, XLA routes the
+psum'd histograms and the ppermute DC hand-off over ICI within a host and
+DCN across hosts, and (multi-process only) one all_gather replicates the
+per-shard COMPRESSED segments so process 0 can assemble the JPEG
+(parallel/sharding.py).
+
+Data plumbing: each process supplies only ITS OWN image rows.
+`local_row_range` says which rows of the original image a process must
+load; `encode_array_distributed` pads them into the process-local slab,
+builds the global device array with `jax.make_array_from_process_local_data`,
+dispatches the ONE-program sharded encode, and assembles the JPEG on
+process 0 (returns None elsewhere). The bytes are identical to a
+single-process `encode_array` of the whole image (tested in
+tests/test_multihost.py with two real jax.distributed CPU processes).
 
 Typical multi-host driver (same script on every host):
 
-    from dmmt_jpeg_encoder_tpu.parallel.multihost import (
-        initialize_distributed, global_mesh_shards,
-    )
-    initialize_distributed(coordinator, num_processes, process_id)
-    config = EncoderConfig(num_shards=global_mesh_shards())
-    jpeg = encode_array(pixels, 255, config)   # identical bytes on host 0
+    from dmmt_jpeg_encoder_tpu.parallel import multihost as mh
+    mh.initialize_distributed(coordinator, num_processes, process_id)
+    config = EncoderConfig(num_shards=mh.global_mesh_shards(),
+                           scan_backend="device")
+    r0, r1 = mh.local_row_range(height, width, config)
+    jpeg = mh.encode_array_distributed(
+        load_rows(r0, r1), height, width, 255, config,
+    )  # bytes on process 0, None elsewhere
 """
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed(
@@ -54,6 +69,119 @@ def global_mesh_shards() -> int:
 
 def is_coordinator() -> bool:
     return jax.process_index() == 0
+
+
+def _distributed_geometry(height: int, width: int, config):
+    """Shared geometry: (ph, pw, slab_rows per shard, shards per process)."""
+    from .sharding import _shard_geometry
+
+    preset = config.chroma_subsampling
+    n = config.num_shards
+    n_proc = jax.process_count()
+    if n % n_proc:
+        raise ValueError(
+            f"num_shards={n} must be divisible by process_count={n_proc}"
+        )
+    ph, pw, rows_per_shard, _ = _shard_geometry(height, width, preset, n)
+    slab = rows_per_shard * preset.mcu_height
+    return ph, pw, slab, n // n_proc
+
+
+def local_row_range(height: int, width: int, config) -> tuple[int, int]:
+    """Rows [r0, r1) of the ORIGINAL image this process must supply to
+    encode_array_distributed. r1 is clamped to the image height: rows
+    beyond it are padding this process generates itself (black, matching
+    the reference's padder — padder.rs:16), so a process whose shards are
+    entirely alignment padding loads nothing."""
+    ph, pw, slab, shards_per_proc = _distributed_geometry(
+        height, width, config
+    )
+    pid = jax.process_index()
+    r0 = pid * shards_per_proc * slab
+    r1 = (pid + 1) * shards_per_proc * slab
+    return min(r0, height), min(r1, height)
+
+
+def encode_array_distributed(
+    local_pixels: "np.ndarray | None",
+    height: int,
+    width: int,
+    maxval: int,
+    config,
+) -> bytes | None:
+    """Multi-process encode from process-local image rows.
+
+    local_pixels: this process's rows of the original image (see
+    local_row_range), [r1-r0, width, 3] uint8/uint16 — or None when the
+    range is empty. Every process participates in the device program;
+    only process 0 assembles and returns the JPEG bytes.
+
+    Requires the fused one-dispatch sharded path (real TPUs, or interpret
+    mode on CPU meshes): the two-dispatch path's host tail would need the
+    per-shard coefficient arrays, which are not addressable cross-process.
+    """
+    from ..container import assemble_jpeg
+    from ..tables import quantization_table_pair
+    from .sharding import (
+        _compiled_sharded_onedispatch,
+        _finish_sharded_onedispatch,
+        _use_sharded_onedispatch,
+    )
+
+    if not _use_sharded_onedispatch(config, height, width):
+        raise NotImplementedError(
+            "multi-process encode requires the fused one-dispatch sharded "
+            "path (Pallas-capable backend or DMMT_PALLAS_INTERPRET=1)"
+        )
+    preset = config.chroma_subsampling
+    ph, pw, slab, shards_per_proc = _distributed_geometry(
+        height, width, config
+    )
+    pid = jax.process_index()
+    r0 = pid * shards_per_proc * slab
+
+    # Process-local slab of the global PADDED image: place the local rows,
+    # black-pad the rest (right pad + bottom/alignment rows).
+    local_h = shards_per_proc * slab
+    dtype = local_pixels.dtype if local_pixels is not None else np.uint16
+    slab_px = np.zeros((local_h, pw, 3), dtype=dtype)
+    if local_pixels is not None and len(local_pixels):
+        lp = np.asarray(local_pixels)
+        slab_px[: lp.shape[0], : lp.shape[1]] = lp
+
+    fn, mesh, geom = _compiled_sharded_onedispatch(
+        height, width, preset, config.dct_variant, config.num_shards,
+        gather=True,
+    )
+    garr = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("mcu_rows", None, None)),
+        slab_px,
+        (ph, pw, 3),
+    )
+    luma_q, chroma_q = quantization_table_pair(
+        config.quantization_preset, config.quality
+    )
+    outputs = fn(
+        garr, jnp.float32(maxval), jnp.asarray(luma_q), jnp.asarray(chroma_q)
+    )
+    scan, tables = _finish_sharded_onedispatch(
+        ("onedispatch", outputs, geom, (height, width)), config
+    )
+    if pid != 0:
+        return None
+    return assemble_jpeg(
+        width=width,
+        height=height,
+        bits_per_channel=config.bits_per_channel,
+        preset=preset,
+        luma_quant=luma_q,
+        chroma_quant=chroma_q,
+        luma_dc=tables.luma_dc,
+        luma_ac=tables.luma_ac,
+        chroma_dc=tables.chroma_dc,
+        chroma_ac=tables.chroma_ac,
+        scan_bytes=scan,
+    )
 
 
 def scaling_report(mpix_per_s_one_chip: float, mpix_per_s_n_chips: float,

@@ -204,6 +204,7 @@ def _compiled_sharded_onedispatch(
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
     num_shards: int,
+    gather: bool = False,
 ):
     """The WHOLE sharded encode as ONE jit program (VERDICT r2 #4).
 
@@ -283,8 +284,18 @@ def _compiled_sharded_onedispatch(
         spec_ns = jnp.stack(
             [t["n_present"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
         )
+        if gather:
+            # Multi-process: replicate the per-shard streams so process 0
+            # can assemble the JPEG without touching other processes'
+            # device memory. The gathered bytes are the COMPRESSED
+            # segments (~KBs), not coefficients, so the DCN cost is small.
+            words_out = jax.lax.all_gather(words, AXIS)
+            bits_out = jax.lax.all_gather(shard_bits, AXIS)
+        else:
+            words_out = words[None]
+            bits_out = shard_bits[None]
         return (
-            words[None], shard_bits[None],
+            words_out, bits_out,
             spec_syms, spec_lens, spec_ns,
         ) + hists
 
@@ -293,8 +304,8 @@ def _compiled_sharded_onedispatch(
         mesh=mesh,
         in_specs=(P(AXIS, None, None), P(), P(None), P(None)),
         out_specs=(
-            P(AXIS, None),  # per-shard packed words
-            P(AXIS),        # per-shard bit counts
+            P() if gather else P(AXIS, None),  # packed words
+            P() if gather else P(AXIS),        # bit counts
             P(), P(), P(),  # replicated table spec
             P(), P(), P(), P(),  # global histograms (debug cross-check)
         ),
