@@ -1,0 +1,145 @@
+"""MXU plane DCT: the 2-D 8x8 DCT as block-diagonal 128x128 matmuls.
+
+The production Arai chain (reference op order, src/cosine_transform/
+arai.rs:29-104) runs on the VPU with [..., 8]-minor operands — 8 of 128
+lanes per op — and measures ~6x above pure op-bound at 4K; every XLA-level
+full-lane restructuring lost to layout transitions through HBM (PERF.md).
+This kernel takes the opposite route: keep the plane layout untouched and
+ride the MXU instead of the VPU.
+
+For a [128, W] tile of an image plane, the column DCT of all sixteen
+8-row groups is ONE matmul with the block-diagonal matrix
+
+    CL = kron(I_16, C)          (C = 8-point DCT-II matrix, dct.py)
+
+and the row DCT of each 128-lane chunk is one matmul with CL^T on the
+right. Quantization (divide by the [8, 8] table tiled over the plane),
+round-half-away-from-zero (quantizer.rs:53-63), and the int16 cast fuse
+into the same VMEM tile — zero HBM intermediates between DCT, quantizer,
+and cast. FLOPs: 2 x 128 FMA/element on the MXU instead of ~17 VPU
+ops/element at 1/16 lane utilization.
+
+NUMERICS: mathematically this is the exact DCT-II (same normalization the
+Arai scale factors realize), but the f32 summation order differs from the
+Arai butterflies, so post-quantization integers can differ from the ARAI
+path in the rare cases where a coefficient lands within f32 noise of a
+.5 rounding boundary. It is therefore an OPT-IN phase-1 mode
+(DMMT_P1=mxu), not the parity default; output remains a valid baseline
+JPEG with identical PSNR character (tests bound the coefficient drift).
+
+Output contract matches ops/pallas_dct.plane_dct_quant: int16 [H, W] in
+plane layout (v = row % 8, u = lane % 8); the caller's existing int16
+transpose/zigzag/entangle tail produces scan blocks.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .dct import dct_matrix
+
+TILE_W = 384  # 3 MXU lane chunks; divides both 3840 and 1920
+
+
+@lru_cache(maxsize=1)
+def _cl_matrix() -> np.ndarray:
+    """kron(I_16, C): column DCT of sixteen 8-row groups at once."""
+    return np.kron(np.eye(16, dtype=np.float32), dct_matrix()).astype(
+        np.float32
+    )
+
+
+def _make_kernel(h: int, w: int):
+    n_chunks = TILE_W // 128
+
+    def kernel(x_ref, cl_ref, clt_ref, qb_ref, o_ref):
+        i = jax.lax.broadcasted_iota  # noqa: F841 (doc: 2D iota only)
+        import jax.experimental.pallas as pl
+
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        x = x_ref[:]
+        # Mask out-of-bounds rows/lanes of edge tiles to 0.0: OOB block
+        # padding is unspecified and a NaN there would poison valid
+        # outputs through the matmul's 0-entries (0 * NaN = NaN).
+        if h % 128:
+            rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+            x = jnp.where(rows + ti * 128 < h, x, 0.0)
+        if w % TILE_W:
+            lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            x = jnp.where(lanes + tj * TILE_W < w, x, 0.0)
+        t1 = jnp.dot(cl_ref[:], x, preferred_element_type=jnp.float32)
+        for c in range(n_chunks):
+            sl = slice(c * 128, (c + 1) * 128)
+            t2 = jnp.dot(t1[:, sl], clt_ref[:], preferred_element_type=jnp.float32)
+            scaled = t2 / qb_ref[:, sl]
+            o_ref[:, sl] = (
+                jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
+            ).astype(jnp.int16)
+
+    return kernel
+
+
+def plane_dct_quant_mxu(
+    plane: jnp.ndarray, qtable_raster: jnp.ndarray
+) -> jnp.ndarray:
+    """[H, W] f32 plane (H, W multiples of 8) + uint8[64] raster table ->
+    int16 [H, W] quantized coefficient plane (v = row%8, u = lane%8)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
+    h, w = int(plane.shape[0]), int(plane.shape[1])
+    assert h % 8 == 0 and w % 8 == 0, (h, w)
+    cl = jnp.asarray(_cl_matrix())
+    q_big = jnp.tile(
+        qtable_raster.astype(jnp.float32).reshape(8, 8), (16, TILE_W // 8)
+    )
+    grid = (pl.cdiv(h, 128), pl.cdiv(w, TILE_W))
+    return pl.pallas_call(
+        _make_kernel(h, w),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((128, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, TILE_W), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (128, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * h * w * 256,
+            bytes_accessed=h * w * 6 + 2 * 128 * 128 * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(plane, cl, cl.T, q_big)
+
+
+def mxu_dct_reference(
+    plane: jnp.ndarray, qtable_raster: jnp.ndarray
+) -> jnp.ndarray:
+    """jnp oracle for the kernel (same contraction structure, XLA HIGHEST):
+    used by tests; also the CPU fallback when Pallas is unavailable."""
+    from .quantize import round_half_away_from_zero
+
+    h, w = plane.shape
+    c = jnp.asarray(dct_matrix())
+    x = plane.reshape(h // 8, 8, w // 8, 8)
+    t = jnp.einsum(
+        "vy,aybx,ux->avbu",
+        c, x, c,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    q = qtable_raster.astype(jnp.float32).reshape(8, 8)
+    scaled = t / q[None, :, None, :]
+    return (
+        round_half_away_from_zero(scaled).astype(jnp.int16).reshape(h, w)
+    )

@@ -157,15 +157,24 @@ def _plane_dct_zigzag_blocks(
     hh, ww = plane.shape
     a, b = hh // 8, ww // 8
 
-    if mode == "pallas":
-        import os
-
+    if mode in ("pallas", "mxu"):
         from .bitstream.device_pack import _use_pallas_pack
 
-        if _use_pallas_pack():
-            from .ops.pallas_dct import plane_dct_quant
+        if _use_pallas_pack() or mode == "mxu":
+            if mode == "mxu":
+                # MXU block-diagonal matmul DCT (ops/mxu_dct.py): opt-in,
+                # not Arai-bit-exact (see its docstring); jnp oracle off
+                # Pallas backends.
+                from .ops.mxu_dct import mxu_dct_reference, plane_dct_quant_mxu
 
-            rounded16 = plane_dct_quant(plane, qtable)  # i16 [H, W]
+                if _use_pallas_pack():
+                    rounded16 = plane_dct_quant_mxu(plane, qtable)
+                else:
+                    rounded16 = mxu_dct_reference(plane, qtable)
+            else:
+                from .ops.pallas_dct import plane_dct_quant
+
+                rounded16 = plane_dct_quant(plane, qtable)  # i16 [H, W]
             blk = (
                 rounded16.reshape(a, 8, b, 8)
                 .transpose(0, 2, 1, 3)
