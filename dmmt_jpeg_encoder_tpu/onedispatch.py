@@ -71,8 +71,7 @@ def one_dispatch_supported(height: int, width: int,
     return luma_blocks * 64 < MAX_DEVICE_TABLE_SYMBOLS
 
 
-@lru_cache(maxsize=32)
-def _compiled_onedispatch(
+def _build_onedispatch_program(
     height: int,
     width: int,
     preset: ChromaSubsamplingPreset,
@@ -182,7 +181,89 @@ def _compiled_onedispatch(
             l_dc, l_ac, c_dc, c_ac,
         )
 
-    return jax.jit(program)
+    return program
+
+
+@lru_cache(maxsize=32)
+def _compiled_onedispatch(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    planar: bool = False,
+):
+    return jax.jit(
+        _build_onedispatch_program(height, width, preset, variant, planar)
+    )
+
+
+N_ONEDISPATCH_OUTPUTS = 9
+
+
+@lru_cache(maxsize=8)
+def _compiled_onedispatch_multi(
+    n_images: int,
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    planar: bool = False,
+):
+    """n_images full encodes in ONE jit program (VERDICT r2 #2b): the
+    ~0.45 ms per-dispatch device-side fixed cost is paid once per group
+    instead of once per image. Outputs are the concatenated per-image
+    tuples (no stacked arrays, so finishing needs no device-side
+    slicing)."""
+    program = _build_onedispatch_program(height, width, preset, variant, planar)
+
+    def multi(rgb_stack, maxval, luma_q, chroma_q):
+        outs = ()
+        for i in range(n_images):
+            outs = outs + program(rgb_stack[i], maxval, luma_q, chroma_q)
+        return outs
+
+    return jax.jit(multi)
+
+
+def start_one_dispatch_multi(
+    pixels_stack,
+    maxval: int,
+    config: EncoderConfig,
+    luma_q: np.ndarray,
+    chroma_q: np.ndarray,
+) -> list[OneDispatchState]:
+    """Dispatch a group of same-geometry images as ONE program.
+
+    pixels_stack: [B, H, W, 3] (or [B, 3, H, W] planar), device-resident
+    or host. Returns one OneDispatchState per image; finish each with
+    finish_one_dispatch as usual."""
+    b = int(pixels_stack.shape[0])
+    planar = int(pixels_stack.shape[1]) == 3 and int(pixels_stack.shape[3]) != 3
+    if planar:
+        height, width = int(pixels_stack.shape[2]), int(pixels_stack.shape[3])
+    else:
+        height, width = int(pixels_stack.shape[1]), int(pixels_stack.shape[2])
+    fn = _compiled_onedispatch_multi(
+        b, height, width, config.chroma_subsampling, config.dct_variant,
+        planar=planar,
+    )
+    out = fn(
+        jnp.asarray(pixels_stack),
+        jnp.float32(maxval),
+        jnp.asarray(luma_q),
+        jnp.asarray(chroma_q),
+    )
+    k = N_ONEDISPATCH_OUTPUTS
+    states = []
+    for i in range(b):
+        o = out[i * k : (i + 1) * k]
+        states.append(
+            OneDispatchState(
+                words=o[0], total_bits=o[1], spec_syms=o[2], spec_lens=o[3],
+                spec_ns=o[4], hists=o[5:9], height=height, width=width,
+            )
+        )
+    return states
 
 
 def start_one_dispatch(

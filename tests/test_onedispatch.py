@@ -123,3 +123,33 @@ def test_one_dispatch_planar_input_bytes_match(rng, interpret):
                 od.start_one_dispatch(planar, 255, cfg, lq, cq), cfg
             )
             assert a[0] == b[0]
+
+
+def test_multi_image_onedispatch_matches_per_image(monkeypatch, rng):
+    """B same-geometry encodes in ONE program (VERDICT r2 #2b) must yield
+    the per-image scan bytes and tables."""
+    monkeypatch.setenv("DMMT_PALLAS_INTERPRET", "1")
+    from dmmt_jpeg_encoder_tpu import ChromaSubsamplingPreset, EncoderConfig
+    from dmmt_jpeg_encoder_tpu.config import QuantizationTablePreset
+    from dmmt_jpeg_encoder_tpu.onedispatch import (
+        finish_one_dispatch,
+        start_one_dispatch,
+        start_one_dispatch_multi,
+    )
+    from dmmt_jpeg_encoder_tpu.tables import quantization_table_pair
+
+    cfg = EncoderConfig(chroma_subsampling=ChromaSubsamplingPreset.P420)
+    lq, cq = quantization_table_pair(QuantizationTablePreset.SPECIFICATION)
+    imgs = np.stack(
+        [rng.integers(0, 256, (48, 64, 3), dtype=np.uint8) for _ in range(2)]
+    )
+    multi = [
+        finish_one_dispatch(s, cfg)
+        for s in start_one_dispatch_multi(imgs, 255, cfg, lq, cq)
+    ]
+    for i in range(2):
+        scan, tables = finish_one_dispatch(
+            start_one_dispatch(imgs[i], 255, cfg, lq, cq), cfg
+        )
+        assert multi[i][0] == scan
+        assert multi[i][1] == tables
