@@ -92,13 +92,20 @@ def symbol_histograms(
 
     from ..ops.pallas_histogram import matmul_histogram, pallas_histogram
 
+    mode = os.environ.get("DMMT_HIST", "matmul")
+    if mode == "fused" and block_mask is None:
+        # One fused structure+count kernel, zero HBM intermediates
+        # (ops/pallas_block_hist.py). Masked (sharded) calls keep the
+        # XLA path: a concat of two prefix masks is not a prefix.
+        from ..utils.capability import pallas_capable
+
+        if pallas_capable():
+            from ..ops.pallas_block_hist import fused_block_histograms
+
+            return fused_block_histograms(coeffs_zz)
     # MXU nibble-matmul histogram by default; DMMT_HIST=pallas selects the
     # 256-bin masked-reduce sweep kernel instead.
-    hist = (
-        pallas_histogram
-        if os.environ.get("DMMT_HIST") == "pallas"
-        else matmul_histogram
-    )
+    hist = pallas_histogram if mode == "pallas" else matmul_histogram
 
     weight = (
         jnp.ones((coeffs_zz.shape[0],), jnp.int32)
