@@ -134,18 +134,35 @@ def _make_phase1(
 
         # Alignment-padding MCU rows (beyond the true padded image) are
         # masked out of the histograms and dropped on host.
-        luma_mask = (
-            jnp.arange(luma_zz.shape[0]) < valid_rows * luma_blocks_per_mcu_row
-        )
-        chroma_mask = (
-            jnp.arange(cb_zz.shape[0]) < valid_rows * chroma_blocks_per_mcu_row
-        )
-        l_dc, l_ac = symbol_histograms(luma_zz, luma_mask)
-        # chroma histograms are consumed summed: one pass on concat Cb/Cr
-        c_dc, c_ac = symbol_histograms(
-            jnp.concatenate([cb_zz, cr_zz], axis=0),
-            jnp.concatenate([chroma_mask, chroma_mask], axis=0),
-        )
+        import os
+
+        n_luma_valid = valid_rows * luma_blocks_per_mcu_row
+        n_chroma_valid = valid_rows * chroma_blocks_per_mcu_row
+        if os.environ.get("DMMT_HIST") == "fused":
+            from ..utils.capability import pallas_capable
+
+            use_fused_hist = pallas_capable()
+        else:
+            use_fused_hist = False
+        if use_fused_hist:
+            # Per-channel prefix counts (the fused kernel takes a valid
+            # PREFIX length; a concat of two prefix masks is no prefix).
+            # hist(cb) + hist(cr) == hist(concat) exactly — integers.
+            from ..ops.pallas_block_hist import fused_block_histograms
+
+            l_dc, l_ac = fused_block_histograms(luma_zz, n_luma_valid)
+            cb_dc, cb_ac = fused_block_histograms(cb_zz, n_chroma_valid)
+            cr_dc, cr_ac = fused_block_histograms(cr_zz, n_chroma_valid)
+            c_dc, c_ac = cb_dc + cr_dc, cb_ac + cr_ac
+        else:
+            luma_mask = jnp.arange(luma_zz.shape[0]) < n_luma_valid
+            chroma_mask = jnp.arange(cb_zz.shape[0]) < n_chroma_valid
+            l_dc, l_ac = symbol_histograms(luma_zz, luma_mask)
+            # chroma histograms are consumed summed: one pass on concat
+            c_dc, c_ac = symbol_histograms(
+                jnp.concatenate([cb_zz, cr_zz], axis=0),
+                jnp.concatenate([chroma_mask, chroma_mask], axis=0),
+            )
         hists = jax.lax.psum((l_dc, l_ac, c_dc, c_ac), AXIS)
         locals_ = (l_dc, l_ac, c_dc, c_ac)
         return (luma_zz, cb_zz, cr_zz), hists, locals_, valid_rows

@@ -71,3 +71,20 @@ def test_e2e_hist_mode_bytes_identical(rng, monkeypatch):
     monkeypatch.setenv("DMMT_HIST", "fused")
     b = dj.encode_array(px, 255, cfg)
     assert a == b
+
+
+def test_sharded_with_fused_hist_bit_exact(rng, monkeypatch):
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setenv("DMMT_HIST", "fused")
+    import dmmt_jpeg_encoder_tpu as dj
+
+    px = rng.integers(0, 256, (44, 28, 3), dtype=np.uint16)
+    single = dj.encode_array(px, 255, dj.EncoderConfig())
+    sharded = dj.encode_array(
+        px, 255, dj.EncoderConfig(num_shards=8, scan_backend="device")
+    )
+    assert sharded == single
