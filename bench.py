@@ -380,10 +380,13 @@ def main() -> int:
         print("bench: all attempts failed, no metrics captured", file=sys.stderr)
         return 1
     # Canonical summary, device-program metric last (the driver records
-    # the final JSON line).
+    # the final JSON line). Summary lines carry "final": true — they are
+    # the authoritative value per metric; earlier pass-through lines are
+    # crash-safety copies (kept so a kill mid-run still leaves data) and
+    # may repeat or predate a retry.
     for metric in METRIC_ORDER:
         if metric in metrics:
-            print(json.dumps(metrics[metric]), flush=True)
+            print(json.dumps({**metrics[metric], "final": True}), flush=True)
     return 0
 
 

@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from .config import ChromaSubsamplingPreset, DCTVariant, EncoderConfig
 from .huffman.spec import SymbolCodeLength
+from .utils.capability import trace_mode_key
 
 K_DC_CAP = 16
 K_AC_CAP = 256
@@ -184,13 +185,24 @@ def _build_onedispatch_program(
     return program
 
 
-@lru_cache(maxsize=32)
 def _compiled_onedispatch(
     height: int,
     width: int,
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
     planar: bool = False,
+):
+    return _compiled_onedispatch_keyed(height, width, preset, variant, planar=planar, _mode=trace_mode_key())
+
+
+@lru_cache(maxsize=32)
+def _compiled_onedispatch_keyed(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    planar: bool = False,
+    *, _mode=None,
 ):
     return jax.jit(
         _build_onedispatch_program(height, width, preset, variant, planar)
@@ -200,7 +212,6 @@ def _compiled_onedispatch(
 N_ONEDISPATCH_OUTPUTS = 9
 
 
-@lru_cache(maxsize=8)
 def _compiled_onedispatch_multi(
     n_images: int,
     height: int,
@@ -208,6 +219,19 @@ def _compiled_onedispatch_multi(
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
     planar: bool = False,
+):
+    return _compiled_onedispatch_multi_keyed(n_images, height, width, preset, variant, planar=planar, _mode=trace_mode_key())
+
+
+@lru_cache(maxsize=8)
+def _compiled_onedispatch_multi_keyed(
+    n_images: int,
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    planar: bool = False,
+    *, _mode=None,
 ):
     """n_images full encodes in ONE jit program (VERDICT r2 #2b): the
     ~0.45 ms per-dispatch device-side fixed cost is paid once per group
@@ -343,6 +367,27 @@ def prefetch_one_dispatch(state: OneDispatchState,
             return  # backend has no async copies: finish fetches as usual
 
 
+def tables_from_spec(spec_syms, spec_lens, spec_ns):
+    """Decode the device table spec (leaf-order symbols/lengths + present
+    counts, [4, 256]/[4]) into host HuffmanTables. Shared by the
+    single-chip and sharded one-dispatch finishes."""
+    from .encoder import HuffmanTables
+
+    lists = []
+    for t in range(4):
+        n = int(spec_ns[t])
+        lists.append(
+            [
+                SymbolCodeLength(int(spec_syms[t, i]), int(spec_lens[t, i]))
+                for i in range(n)
+            ]
+        )
+    return HuffmanTables(
+        luma_dc=lists[0], luma_ac=lists[1], chroma_dc=lists[2],
+        chroma_ac=lists[3],
+    )
+
+
 def finish_one_dispatch(state: OneDispatchState, config: EncoderConfig):
     """Synchronize: one speculative fetch (table spec + bits + a word
     slice sized from the previous encode); a second fetch only when the
@@ -354,7 +399,6 @@ def finish_one_dispatch(state: OneDispatchState, config: EncoderConfig):
         exact_scan_bits,
         finalize_scan_bytes,
     )
-    from .encoder import HuffmanTables
     from .huffman.canonical import flat_code_arrays
 
     geom_key = (state.height, state.width, config.chroma_subsampling,
@@ -372,19 +416,7 @@ def finish_one_dispatch(state: OneDispatchState, config: EncoderConfig):
             (state.total_bits, state.spec_syms, state.spec_lens,
              state.spec_ns)
         )
-    lists = []
-    for t in range(4):
-        n = int(spec_ns[t])
-        lists.append(
-            [
-                SymbolCodeLength(int(spec_syms[t, i]), int(spec_lens[t, i]))
-                for i in range(n)
-            ]
-        )
-    tables = HuffmanTables(
-        luma_dc=lists[0], luma_ac=lists[1], chroma_dc=lists[2],
-        chroma_ac=lists[3],
-    )
+    tables = tables_from_spec(spec_syms, spec_lens, spec_ns)
     nbits = int(total_bits)
     if _check_bits_enabled():
         hists = jax.device_get(state.hists)

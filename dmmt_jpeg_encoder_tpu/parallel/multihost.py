@@ -108,6 +108,7 @@ def encode_array_distributed(
     width: int,
     maxval: int,
     config,
+    input_dtype=None,
 ) -> bytes | None:
     """Multi-process encode from process-local image rows.
 
@@ -115,6 +116,15 @@ def encode_array_distributed(
     local_row_range), [r1-r0, width, 3] uint8/uint16 — or None when the
     range is empty. Every process participates in the device program;
     only process 0 assembles and returns the JPEG bytes.
+
+    input_dtype: the IMAGE dtype, required when local_pixels is None in a
+    multi-process run — every process must trace the identical program
+    (multi-controller JAX), so a process with no rows cannot guess the
+    dtype its peers are feeding.
+
+    SPMD discipline: all processes must call this with the same image
+    sequence — the finish step's speculative-fetch decisions are derived
+    from per-geometry history and must match across processes.
 
     Requires the fused one-dispatch sharded path (real TPUs, or interpret
     mode on CPU meshes): the two-dispatch path's host tail would need the
@@ -143,7 +153,22 @@ def encode_array_distributed(
     # Process-local slab of the global PADDED image: place the local rows,
     # black-pad the rest (right pad + bottom/alignment rows).
     local_h = shards_per_proc * slab
-    dtype = local_pixels.dtype if local_pixels is not None else np.uint16
+    if local_pixels is not None:
+        dtype = np.asarray(local_pixels).dtype
+        if input_dtype is not None and np.dtype(input_dtype) != dtype:
+            raise ValueError(
+                f"input_dtype={np.dtype(input_dtype)} contradicts "
+                f"local_pixels.dtype={dtype}"
+            )
+    elif input_dtype is not None:
+        dtype = np.dtype(input_dtype)
+    elif jax.process_count() == 1:
+        dtype = np.dtype(np.uint8)
+    else:
+        raise ValueError(
+            "a process with no local rows must pass input_dtype: all "
+            "processes have to trace the identical program"
+        )
     slab_px = np.zeros((local_h, pw, 3), dtype=dtype)
     if local_pixels is not None and len(local_pixels):
         lp = np.asarray(local_pixels)

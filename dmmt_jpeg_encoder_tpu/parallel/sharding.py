@@ -53,6 +53,7 @@ from ..ops.geometry import (
 from ..ops.quantize import quantize_zigzag
 from ..pipeline import DeviceEncodeResult
 from ..tables import quantization_table_pair
+from ..utils.capability import trace_mode_key
 
 AXIS = "mcu_rows"
 
@@ -171,13 +172,24 @@ def _make_phase1(
     return phase1, geom
 
 
-@lru_cache(maxsize=16)
 def _compiled_sharded(
     height: int,
     width: int,
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
     num_shards: int,
+):
+    return _compiled_sharded_keyed(height, width, preset, variant, num_shards, _mode=trace_mode_key())
+
+
+@lru_cache(maxsize=16)
+def _compiled_sharded_keyed(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    num_shards: int,
+    *, _mode=None,
 ):
     phase1, geom = _make_phase1(height, width, preset, variant, num_shards)
     mesh = build_mesh(num_shards)
@@ -214,7 +226,6 @@ def _compiled_sharded(
     return jax.jit(sharded), mesh, geom
 
 
-@lru_cache(maxsize=16)
 def _compiled_sharded_onedispatch(
     height: int,
     width: int,
@@ -222,6 +233,19 @@ def _compiled_sharded_onedispatch(
     variant: DCTVariant,
     num_shards: int,
     gather: bool = False,
+):
+    return _compiled_sharded_onedispatch_keyed(height, width, preset, variant, num_shards, gather=gather, _mode=trace_mode_key())
+
+
+@lru_cache(maxsize=16)
+def _compiled_sharded_onedispatch_keyed(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    num_shards: int,
+    gather: bool = False,
+    *, _mode=None,
 ):
     """The WHOLE sharded encode as ONE jit program (VERDICT r2 #4).
 
@@ -465,7 +489,6 @@ def merge_bit_streams(chunks: list) -> tuple[np.ndarray, int]:
     return out[: (total_bits + 7) // 8], total_bits
 
 
-@lru_cache(maxsize=16)
 def _compiled_shard_pack(
     num_shards: int,
     nl_s: int,
@@ -476,6 +499,22 @@ def _compiled_shard_pack(
     valid_mcu_rows: int,
     mcus_per_row: int,
     use_fused_key: bool = False,
+):
+    return _compiled_shard_pack_keyed(num_shards, nl_s, nc_s, luma_per_mcu, words_cap, rows_per_shard, valid_mcu_rows, mcus_per_row, use_fused_key=use_fused_key, _mode=trace_mode_key())
+
+
+@lru_cache(maxsize=16)
+def _compiled_shard_pack_keyed(
+    num_shards: int,
+    nl_s: int,
+    nc_s: int,
+    luma_per_mcu: int,
+    words_cap: int,
+    rows_per_shard: int,
+    valid_mcu_rows: int,
+    mcus_per_row: int,
+    use_fused_key: bool = False,
+    *, _mode=None,
 ):
     from ..bitstream.device_pack import (
         _interleave_scan,
@@ -586,13 +625,26 @@ def start_sharded_encode(
 _LAST_SHARD_BITS: dict[tuple, int] = {}
 
 
+def _merge_and_stuff(chunks: list) -> bytes:
+    """Shared scan tail: bit-merge the per-shard streams, 1-pad the final
+    byte (reference: encoder.rs:267), byte-stuff 0xFFs
+    (segment_marker_injector.rs:14-30)."""
+    merged, total_bits = merge_bit_streams(chunks)
+    pad = len(merged) * 8 - total_bits
+    if pad:
+        merged[-1] |= (1 << pad) - 1
+    ff = np.flatnonzero(merged == 0xFF)
+    if len(ff):
+        merged = np.insert(merged, ff + 1, 0)
+    return merged.tobytes()
+
+
 def _finish_sharded_onedispatch(
     state: tuple, config: EncoderConfig
 ) -> tuple[bytes, "object"]:
     from ..bitstream.device_pack import _check_bits_enabled, exact_scan_bits
-    from ..encoder import HuffmanTables
     from ..huffman.canonical import flat_code_arrays
-    from ..huffman.spec import SymbolCodeLength
+    from ..onedispatch import tables_from_spec
 
     _, outputs, geom, (height, width) = state
     n = config.num_shards
@@ -610,16 +662,7 @@ def _finish_sharded_onedispatch(
         bits, syms, lens, ns_arr = jax.device_get(
             (bits_d, syms_d, lens_d, ns_d)
         )
-    lists = []
-    for t in range(4):
-        k = int(ns_arr[t])
-        lists.append(
-            [SymbolCodeLength(int(syms[t, i]), int(lens[t, i])) for i in range(k)]
-        )
-    tables = HuffmanTables(
-        luma_dc=lists[0], luma_ac=lists[1], chroma_dc=lists[2],
-        chroma_ac=lists[3],
-    )
+    tables = tables_from_spec(syms, lens, ns_arr)
     if _check_bits_enabled():
         ghists = jax.device_get(outputs[5:9])
         predicted = exact_scan_bits(
@@ -637,22 +680,20 @@ def _finish_sharded_onedispatch(
     _LAST_SHARD_BITS[key] = int(bits.max())
     needed = [(int(b) + 31) // 32 for b in bits]
     max_needed = max(needed) if needed else 0
-    if wslice is None or max_needed > wslice.shape[1]:
+    if wslice is None:
         host_words = jax.device_get(words_d[:, :max_needed])
+    elif max_needed > wslice.shape[1]:
+        # Speculation came up short: fetch only the missing tail (the
+        # tunneled link moves ~40 MB/s — never refetch from offset 0).
+        tail = jax.device_get(words_d[:, wslice.shape[1] : max_needed])
+        host_words = np.concatenate([wslice, tail], axis=1)
     else:
         host_words = wslice
     chunks = [
         (host_words[i, : needed[i]].view(np.uint8), int(bits[i]))
         for i in range(n)
     ]
-    merged, total_bits = merge_bit_streams(chunks)
-    pad = len(merged) * 8 - total_bits
-    if pad:
-        merged[-1] |= (1 << pad) - 1  # JPEG 1-padding
-    ff = np.flatnonzero(merged == 0xFF)
-    if len(ff):
-        merged = np.insert(merged, ff + 1, 0)
-    return merged.tobytes(), tables
+    return _merge_and_stuff(chunks), tables
 
 
 def finish_sharded_encode(
@@ -748,14 +789,7 @@ def finish_sharded_encode(
     host_words = jax.device_get(words[:, :max_words])
 
     chunks = [(host_words[i].view(np.uint8), bits[i]) for i in range(n)]
-    merged, total_bits = merge_bit_streams(chunks)
-    pad = len(merged) * 8 - total_bits
-    if pad:
-        merged[-1] |= (1 << pad) - 1  # JPEG 1-padding
-    ff = np.flatnonzero(merged == 0xFF)
-    if len(ff):
-        merged = np.insert(merged, ff + 1, 0)
-    return merged.tobytes(), tables
+    return _merge_and_stuff(chunks), tables
 
 
 def encode_sharded_scan(

@@ -36,6 +36,7 @@ from .ops.geometry import (
 )
 from .ops.quantize import quantize_zigzag
 from .entropy.categorize import dc_dpcm, symbol_histograms
+from .utils.capability import trace_mode_key
 
 
 @dataclass
@@ -74,9 +75,14 @@ def _plane_mode() -> str:
       zero HBM intermediates; falls back to "plane" without a Pallas
       backend. Measured slightly SLOWER than "plane" on TPU (50 vs 46
       ms/4K phase 1: wide-row lane rotations beat XLA's fusion nowhere).
+    - "mxu": the 2-D DCT as block-diagonal kron(I16, C) MXU matmuls
+      (ops/mxu_dct.py). The ONLY mode that is NOT Arai-bit-exact: the
+      f32 summation order differs, so quantized integers can flip at .5
+      rounding boundaries — opt-in for throughput, never for parity.
     - "block": the original blockize-first path.
-    All three produce bit-identical blocks (f32 elementwise ops don't
-    depend on vectorization layout; the matmuls are exact one-hots).
+    All modes except "mxu" produce bit-identical blocks (f32 elementwise
+    ops don't depend on vectorization layout; the matmuls are exact
+    one-hots).
     """
     import os
 
@@ -143,7 +149,9 @@ def _plane_dct_zigzag_blocks(
     entangle_quads: bool,
     mode: str,
 ) -> jnp.ndarray:
-    """[H, W] f32 plane -> int16 [N, 64] zigzag blocks, Arai bit-exact."""
+    """[H, W] f32 plane -> int16 [N, 64] zigzag blocks. Arai bit-exact in
+    every mode EXCEPT "mxu" (different f32 summation order — see
+    ops/mxu_dct.py)."""
     global _P_UV
     from .ops.dct import _arai_pass
     from .ops.quantize import round_half_away_from_zero
@@ -316,22 +324,42 @@ def build_pipeline_fn(
     return pipeline
 
 
-@lru_cache(maxsize=32)
 def _compiled_pipeline(
     height: int,
     width: int,
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
 ):
+    return _compiled_pipeline_keyed(height, width, preset, variant, _mode=trace_mode_key())
+
+
+@lru_cache(maxsize=32)
+def _compiled_pipeline_keyed(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    *, _mode=None,
+):
     return jax.jit(build_pipeline_fn(height, width, preset, variant))
 
 
-@lru_cache(maxsize=16)
 def _compiled_pipeline_batch(
     height: int,
     width: int,
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
+):
+    return _compiled_pipeline_batch_keyed(height, width, preset, variant, _mode=trace_mode_key())
+
+
+@lru_cache(maxsize=16)
+def _compiled_pipeline_batch_keyed(
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    *, _mode=None,
 ):
     """One dispatch for B images: the per-image block pipeline is vmapped,
     then per-image histograms run as GROUPED Pallas kernels (a pallas_call

@@ -32,7 +32,23 @@ from functools import lru_cache
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pallas_capable"]
+__all__ = ["pallas_capable", "trace_mode_key"]
+
+
+def trace_mode_key() -> tuple:
+    """Everything from the environment that gets BAKED INTO a traced
+    program: phase-1 layout mode, histogram mode, interpret mode, packer
+    selection, and the capability probe itself. Any lru_cache holding a
+    jitted program must include this in its key, or an env toggle after
+    the first compile at a given geometry is silently ignored (the
+    round-3 review found exactly that)."""
+    return (
+        os.environ.get("DMMT_P1", "plane"),
+        os.environ.get("DMMT_HIST", "matmul"),
+        bool(os.environ.get("DMMT_PALLAS_INTERPRET")),
+        bool(os.environ.get("DMMT_NO_FUSED_PACK")),
+        pallas_capable(),
+    )
 
 
 def pallas_capable() -> bool:
@@ -50,9 +66,18 @@ def pallas_capable() -> bool:
     return _probe_lowering()
 
 
-@lru_cache(maxsize=1)
+_PROBE_RESULT: bool | None = None  # manual cache: failures with no live
+# backend are NOT cached (a transient init error must not degrade every
+# hot path for the process lifetime — the round-2 UNAVAILABLE mode).
+
+
 def _probe_lowering() -> bool:
+    global _PROBE_RESULT
+    if _PROBE_RESULT is not None:
+        return _PROBE_RESULT
+    backend = None
     try:
+        backend = jax.default_backend()
         from jax.experimental import pallas as pl
 
         def _kernel(x_ref, o_ref):
@@ -65,13 +90,18 @@ def _probe_lowering() -> bool:
         # Host-side lowering only (Mosaic serialization); no device
         # compile, no execution, no data upload.
         jax.jit(fn).lower(jax.ShapeDtypeStruct((8, 128), jnp.float32))
+        _PROBE_RESULT = True
         return True
-    except Exception as exc:  # no Mosaic lowering for this platform
-        backend = "<uninitialized>"
-        try:
-            backend = jax.default_backend()
-        except Exception:
-            pass
+    except Exception as exc:
+        if backend is None:
+            # Backend init itself failed: transient (tunneled plugins
+            # report UNAVAILABLE); answer False NOW but retry next call.
+            print(
+                f"dmmt-jpeg-tpu: backend unavailable during Pallas probe "
+                f"({type(exc).__name__}); will re-probe on next use.",
+                file=sys.stderr,
+            )
+            return False
         if backend != "cpu":
             # Never silent on real hardware: the scatter fallback costs
             # ~8-10 ns/element on this TPU (CLAUDE.md) — say so once.
@@ -82,4 +112,5 @@ def _probe_lowering() -> bool:
                 f"Set DMMT_FORCE_PALLAS=1 to override.",
                 file=sys.stderr,
             )
+        _PROBE_RESULT = False
         return False

@@ -90,7 +90,9 @@ def goldens():
 )
 def test_golden_bytes(fixtures_dir, goldens, fixture, preset, table, variant):
     key = _key(fixture, preset, table, variant)
-    assert key in goldens, f"missing golden for {key} — run DMMT_REGOLDEN=1"
+    assert key in goldens, (
+        f"missing golden for {key} — run 'python tests/test_goldens.py'"
+    )
     jpeg = _encode(fixtures_dir, fixture, preset, table, variant)
     digest = hashlib.sha256(jpeg).hexdigest()
     assert digest == goldens[key]["sha256"], (

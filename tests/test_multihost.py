@@ -116,7 +116,8 @@ cfg = EncoderConfig(
 )
 r0, r1 = mh.local_row_range(h, w, cfg)
 local = pixels[r0:r1] if r1 > r0 else None
-jpeg = mh.encode_array_distributed(local, h, w, 255, cfg)
+jpeg = mh.encode_array_distributed(local, h, w, 255, cfg,
+                                   input_dtype=pixels.dtype)
 if jax.process_index() == 0:
     assert jpeg is not None
     with open(out_path, "wb") as f:
