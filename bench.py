@@ -335,6 +335,37 @@ def _run_attempt(cmd, timeout_s: float, metrics: dict) -> int | None:
     return proc.returncode
 
 
+def _tunnel_relay_open() -> bool:
+    """True when the axon stdio relay is accepting connections (tunneled
+    environments only; meaningless elsewhere)."""
+    import socket
+
+    try:
+        socket.create_connection(("127.0.0.1", 8082), 2).close()
+        return True
+    except OSError:
+        return False
+
+
+def _wait_for_tunnel(budget_s: float) -> bool:
+    """In the tunneled-TPU environment, a down relay makes backend init
+    hang forever; burning retry attempts is pointless until the port is
+    back. Poll it for up to budget_s. Returns True if open."""
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return True  # not the tunneled environment: nothing to wait for
+    deadline = time.monotonic() + budget_s
+    while time.monotonic() < deadline:
+        if _tunnel_relay_open():
+            return True
+        print(
+            "bench: TPU tunnel relay port closed; waiting "
+            f"(up to {max(0.0, deadline - time.monotonic()):.0f}s more)...",
+            file=sys.stderr,
+        )
+        time.sleep(30.0)
+    return _tunnel_relay_open()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=3)
@@ -347,6 +378,11 @@ def main() -> int:
     ap.add_argument(
         "--attempt-timeout", type=float, default=2100.0,
         help="seconds per attempt (first jit over the tunnel is ~3-6 min)",
+    )
+    ap.add_argument(
+        "--tunnel-wait", type=float, default=900.0,
+        help="max seconds to wait for the TPU tunnel relay before/between "
+        "attempts (tunneled environments only)",
     )
     args = ap.parse_args()
 
@@ -362,6 +398,12 @@ def main() -> int:
     metrics: dict = {}
     backoffs = [45.0, 90.0, 180.0]
     for attempt in range(args.attempts):
+        if not _wait_for_tunnel(args.tunnel_wait):
+            print(
+                "bench: tunnel relay still down; attempting anyway "
+                "(the attempt timeout bounds the hang)",
+                file=sys.stderr,
+            )
         rc = _run_attempt(cmd, args.attempt_timeout, metrics)
         if rc == 0 and METRIC_ORDER[-1] in metrics:
             break

@@ -118,7 +118,9 @@ def test_end_to_end_supervisor_retries_and_orders(tmp_path, monkeypatch):
     )
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     monkeypatch.setattr(
-        sys, "argv", ["bench.py", "--attempts", "3", "--attempt-timeout", "30"]
+        sys, "argv",
+        ["bench.py", "--attempts", "3", "--attempt-timeout", "30",
+         "--tunnel-wait", "0"],
     )
     proc_out = []
     monkeypatch.setattr(
@@ -152,6 +154,8 @@ def test_all_attempts_failing_returns_rc1(tmp_path, monkeypatch):
     )
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     monkeypatch.setattr(
-        sys, "argv", ["bench.py", "--attempts", "2", "--attempt-timeout", "30"]
+        sys, "argv",
+        ["bench.py", "--attempts", "2", "--attempt-timeout", "30",
+         "--tunnel-wait", "0"],
     )
     assert bench.main() == 1
