@@ -107,6 +107,15 @@ def _build_onedispatch_program(
     n_words = fused_pack_capacity(n_blocks * 64 + 2)  # worst case: static
 
     def program(rgb_u16, maxval, luma_q, chroma_q):
+        from .pipeline import fused_phase1_zigzag_blocks, use_fused_phase1
+
+        if use_fused_phase1(preset, variant):
+            # DMMT_P1=fused1: normalize/color/subsample/DCT/quantize as
+            # ONE Pallas kernel on the integer planes (ops/fused_phase1).
+            luma_zz, cb_zz, cr_zz = fused_phase1_zigzag_blocks(
+                rgb_u16, maxval, luma_q, chroma_q, height, width, planar
+            )
+            return _finish(luma_zz, cb_zz, cr_zz)
         if planar:
             # [3, H, W] channel-planar input: every op runs full-lane.
             # An interleaved [H, W, 3] f32 chain puts 3 in the lane-minor
@@ -130,6 +139,9 @@ def _build_onedispatch_program(
         luma_zz, cb_zz, cr_zz = encode_blocks_from_planes(
             y, cb, cr, luma_q, chroma_q, preset, variant, entangle
         )
+        return _finish(luma_zz, cb_zz, cr_zz)
+
+    def _finish(luma_zz, cb_zz, cr_zz):
         l_dc, l_ac = symbol_histograms(luma_zz)
         # the chroma histograms are summed anyway, so ONE structure
         # scan + bin matmul over the concatenated Cb/Cr blocks is exact

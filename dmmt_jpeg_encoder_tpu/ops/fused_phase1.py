@@ -1,0 +1,262 @@
+"""Fused phase 1 (P420): normalize -> RGB->YCbCr -> chroma subsample ->
+2-D DCT -> quantize, ONE Pallas kernel, zero HBM intermediates.
+
+The XLA phase-1 chain materializes the f32 Y/Cb/Cr planes (and the
+subsampled chroma planes) in HBM between the color/subsample ops and the
+DCT chain; PERF.md attributes ~2 ms/4K to that color/normalize/subsample
+slice on top of the DCT itself. Here a [128, TILE_W] tile of the integer
+R/G/B planes is loaded once into VMEM and everything up to the quantized
+int16 coefficients happens in-register:
+
+- color conversion (reference weights/order, src/color.rs:75-100) on the
+  VPU, full-lane;
+- the 2x2 Average chroma subsample as two exact one-hot f32 matmuls
+  (row-pair sum+decimate D2, lane-pair sum+decimate S) — a stride-2 lane
+  slice is a pathological relayout on TPU (ops/geometry.py), while the
+  one-hots ride the MXU. Cell sum order: (tl+bl) + (tr+br), each pair an
+  exact 2-term f32 add;
+- the 2-D 8x8 DCT as block-diagonal kron(I, C) matmuls with
+  precision=HIGHEST (ops/mxu_dct.py design; a default-precision f32
+  matmul may take a single bf16 pass and truncate mantissas);
+- quantize (divide by the tiled table), round half away from zero
+  (reference: src/image/writer/jpeg/quantizer.rs:53-63), cast int16.
+
+Grid: one step per 128 input rows x TILE_W input lanes. The same step
+writes the luma coefficient tile [128, TILE_W] and the Cb/Cr coefficient
+tiles [64, TILE_W/2] (chroma rows 64*i .. 64*i+63 read exactly input rows
+128*i .. 128*i+127, so the blocking is self-contained; 64 and TILE_W/2
+are multiples of 8, keeping every 8-point DCT group inside one tile).
+
+NUMERICS: like DMMT_P1=mxu this is NOT Arai-bit-exact (different f32
+summation order in the DCT; the subsample differs from the XLA path's
+((tl+bl)+tr)+br by at most 1 ULP) — an opt-in throughput mode
+(DMMT_P1=fused1), never the parity default. Output planes use the same
+contract as ops/mxu_dct.py: int16, v = row % 8, u = lane % 8.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .dct import dct_matrix
+
+TILE_W = 256  # input lanes per grid step; chroma output = 128 lanes
+_LEVEL_SHIFT = 128.0 / 255.0
+
+
+@lru_cache(maxsize=1)
+def _cl16() -> np.ndarray:
+    """kron(I_16, C): column DCT of sixteen 8-row groups at once."""
+    return np.kron(np.eye(16, dtype=np.float32), dct_matrix()).astype(
+        np.float32
+    )
+
+
+@lru_cache(maxsize=1)
+def _cl8() -> np.ndarray:
+    """kron(I_8, C): column DCT of the eight 8-row chroma groups."""
+    return np.kron(np.eye(8, dtype=np.float32), dct_matrix()).astype(
+        np.float32
+    )
+
+
+@lru_cache(maxsize=1)
+def _d2_rows() -> np.ndarray:
+    """[64, 128] one-hot: out row j = in row 2j + in row 2j+1."""
+    d = np.zeros((64, 128), np.float32)
+    d[np.arange(64), np.arange(0, 128, 2)] = 1.0
+    d[np.arange(64), np.arange(1, 128, 2)] = 1.0
+    return d
+
+
+@lru_cache(maxsize=1)
+def _s_cols() -> np.ndarray:
+    """[TILE_W, TILE_W//2] one-hot: out lane c = in lane 2c + in lane
+    2c+1. Lane pairs never straddle a tile boundary (TILE_W is even)."""
+    s = np.zeros((TILE_W, TILE_W // 2), np.float32)
+    s[np.arange(0, TILE_W, 2), np.arange(TILE_W // 2)] = 1.0
+    s[np.arange(1, TILE_W, 2), np.arange(TILE_W // 2)] = 1.0
+    return s
+
+
+def _dot(a, b):
+    return jnp.dot(
+        a, b,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _round_half_away(x):
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def _make_kernel(h: int, w: int):
+    import jax.experimental.pallas as pl
+
+    n_chunks = TILE_W // 128
+
+    def kernel(
+        r_ref, g_ref, b_ref, mv_ref,
+        cl_ref, clt_ref, cl8_ref, d2_ref, s_ref,
+        qly_ref, qlc_ref,
+        oy_ref, ocb_ref, ocr_ref,
+    ):
+        ti = pl.program_id(0)
+        tj = pl.program_id(1)
+        inv = 1.0 / mv_ref[0, 0]
+        r = r_ref[:].astype(jnp.float32) * inv
+        g = g_ref[:].astype(jnp.float32) * inv
+        b = b_ref[:].astype(jnp.float32) * inv
+        # Mask out-of-bounds rows/lanes of edge tiles to 0.0 (black = the
+        # padder's value; also keeps unspecified OOB block padding from
+        # poisoning the matmuls through NaN * 0).
+        if h % 128 or w % TILE_W:
+            rows = jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
+            lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
+            ok = (rows + ti * 128 < h) & (lanes + tj * TILE_W < w)
+            r = jnp.where(ok, r, 0.0)
+            g = jnp.where(ok, g, 0.0)
+            b = jnp.where(ok, b, 0.0)
+        # reference color math, left-to-right order (src/color.rs:75-100)
+        y = (r * 0.299 + g * 0.587 + b * 0.114 - _LEVEL_SHIFT) * 255.0
+        cb = (r * -0.1687 + g * -0.3312 + b * 0.5) * 255.0
+        cr = (r * 0.5 + g * -0.4186 + b * -0.0813) * 255.0
+
+        # luma: column DCT of all 16 groups, then row DCT per 128-chunk
+        t1 = _dot(cl_ref[:], y)
+        for c in range(n_chunks):
+            sl = slice(c * 128, (c + 1) * 128)
+            t2 = _dot(t1[:, sl], clt_ref[:])
+            oy_ref[:, sl] = _round_half_away(t2 / qly_ref[:, sl]).astype(
+                jnp.int16
+            )
+
+        # chroma: 2x2 Average subsample (one-hot matmuls), then DCT
+        for src, oref in ((cb, ocb_ref), (cr, ocr_ref)):
+            ss = _dot(_dot(d2_ref[:], src), s_ref[:]) * 0.25  # [64, TW/2]
+            t = _dot(_dot(cl8_ref[:], ss), clt_ref[:])
+            oref[:] = _round_half_away(t / qlc_ref[:]).astype(jnp.int16)
+
+    return kernel
+
+
+def fused_phase1_p420(
+    r: jnp.ndarray,
+    g: jnp.ndarray,
+    b: jnp.ndarray,
+    maxval: jnp.ndarray,
+    luma_q: jnp.ndarray,
+    chroma_q: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Integer R/G/B planes [H, W] (MCU-padded: H, W multiples of 16) +
+    maxval + raster uint8[64] tables -> (luma [H, W], cb [H/2, W/2],
+    cr [H/2, W/2]) int16 quantized coefficient planes."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
+    h, w = int(r.shape[0]), int(r.shape[1])
+    assert h % 16 == 0 and w % 16 == 0, (h, w)
+    cl = jnp.asarray(_cl16())
+    qly = jnp.tile(
+        luma_q.astype(jnp.float32).reshape(8, 8), (16, TILE_W // 8)
+    )
+    qlc = jnp.tile(
+        chroma_q.astype(jnp.float32).reshape(8, 8), (8, TILE_W // 16)
+    )
+    mv = jnp.asarray(maxval, jnp.float32).reshape(1, 1)
+    grid = (pl.cdiv(h, 128), pl.cdiv(w, TILE_W))
+    plane_spec = pl.BlockSpec(
+        (128, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+
+    def const_spec(shape):
+        return pl.BlockSpec(
+            shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+        )
+
+    return pl.pallas_call(
+        _make_kernel(h, w),
+        grid=grid,
+        in_specs=[
+            plane_spec, plane_spec, plane_spec,
+            pl.BlockSpec(
+                (1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
+            const_spec((128, 128)),           # CL
+            const_spec((128, 128)),           # CL^T
+            const_spec((64, 64)),             # CL8
+            const_spec((64, 128)),            # D2
+            const_spec((TILE_W, TILE_W // 2)),  # S
+            const_spec((128, TILE_W)),        # luma q tiled
+            const_spec((64, TILE_W // 2)),    # chroma q tiled
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (128, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (64, TILE_W // 2), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (64, TILE_W // 2), lambda i, j: (i, j),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((h, w), jnp.int16),
+            jax.ShapeDtypeStruct((h // 2, w // 2), jnp.int16),
+            jax.ShapeDtypeStruct((h // 2, w // 2), jnp.int16),
+        ],
+        cost_estimate=pl.CostEstimate(
+            # HIGHEST f32 matmuls decompose into multiple bf16 passes;
+            # dominated by the luma 2 x 128-MAC/element contractions.
+            flops=2 * h * w * 256 * 8,
+            bytes_accessed=h * w * (3 + 2) + (h // 2) * (w // 2) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(r, g, b, mv, cl, cl.T, jnp.asarray(_cl8()), jnp.asarray(_d2_rows()),
+      jnp.asarray(_s_cols()), qly, qlc)
+
+
+def fused_phase1_reference(
+    r: jnp.ndarray,
+    g: jnp.ndarray,
+    b: jnp.ndarray,
+    maxval: jnp.ndarray,
+    luma_q: jnp.ndarray,
+    chroma_q: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """jnp oracle for the kernel (identical f32 math: same color op
+    order, the same 2-term pair sums, HIGHEST DCT contractions). Used by
+    tests and as the CPU fallback when Pallas is unavailable."""
+    from .mxu_dct import mxu_dct_reference
+
+    inv = 1.0 / jnp.asarray(maxval, jnp.float32)
+    rf = r.astype(jnp.float32) * inv
+    gf = g.astype(jnp.float32) * inv
+    bf = b.astype(jnp.float32) * inv
+    y = (rf * 0.299 + gf * 0.587 + bf * 0.114 - _LEVEL_SHIFT) * 255.0
+    cb = (rf * -0.1687 + gf * -0.3312 + bf * 0.5) * 255.0
+    cr = (rf * 0.5 + gf * -0.4186 + bf * -0.0813) * 255.0
+
+    def subsample_pairs(chan):
+        h, w = chan.shape
+        v = chan.reshape(h // 2, 2, w)
+        rows = v[:, 0, :] + v[:, 1, :]                # tl+bl | tr+br
+        p = rows.reshape(h // 2, w // 2, 2)
+        return (p[:, :, 0] + p[:, :, 1]) * 0.25       # (tl+bl)+(tr+br)
+
+    return (
+        mxu_dct_reference(y, luma_q),
+        mxu_dct_reference(subsample_pairs(cb), chroma_q),
+        mxu_dct_reference(subsample_pairs(cr), chroma_q),
+    )

@@ -73,10 +73,22 @@ def _make_kernel(h: int, w: int):
         if w % TILE_W:
             lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
             x = jnp.where(lanes + tj * TILE_W < w, x, 0.0)
-        t1 = jnp.dot(cl_ref[:], x, preferred_element_type=jnp.float32)
+        # precision=HIGHEST: Mosaic's default f32 matmul may run a single
+        # bf16 pass, truncating the 24-bit mantissas of the DCT operands
+        # (interpret-mode tests use CPU f32 and cannot catch it). HIGHEST
+        # forces the exact multi-pass f32 contraction the jnp oracle uses.
+        t1 = jnp.dot(
+            cl_ref[:], x,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
         for c in range(n_chunks):
             sl = slice(c * 128, (c + 1) * 128)
-            t2 = jnp.dot(t1[:, sl], clt_ref[:], preferred_element_type=jnp.float32)
+            t2 = jnp.dot(
+                t1[:, sl], clt_ref[:],
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
             scaled = t2 / qb_ref[:, sl]
             o_ref[:, sl] = (
                 jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)

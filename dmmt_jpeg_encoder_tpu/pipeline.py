@@ -79,10 +79,17 @@ def _plane_mode() -> str:
       (ops/mxu_dct.py). The ONLY mode that is NOT Arai-bit-exact: the
       f32 summation order differs, so quantized integers can flip at .5
       rounding boundaries — opt-in for throughput, never for parity.
+    - "fused1": the whole phase 1 (normalize, color, P420 subsample, MXU
+      DCT, quantize) as ONE Pallas kernel (ops/fused_phase1.py) — zero
+      HBM intermediates between the integer RGB planes and the int16
+      coefficient planes. Same non-parity caveat as "mxu"; P420+ARAI
+      only (other presets/variants fall back to "plane"). Handled by the
+      program builders (the color conversion itself moves in-kernel);
+      this function treats it as "plane" for the post-color path.
     - "block": the original blockize-first path.
-    All modes except "mxu" produce bit-identical blocks (f32 elementwise
-    ops don't depend on vectorization layout; the matmuls are exact
-    one-hots).
+    All modes except "mxu"/"fused1" produce bit-identical blocks (f32
+    elementwise ops don't depend on vectorization layout; the matmuls
+    are exact one-hots).
     """
     import os
 
@@ -183,17 +190,7 @@ def _plane_dct_zigzag_blocks(
                 from .ops.pallas_dct import plane_dct_quant
 
                 rounded16 = plane_dct_quant(plane, qtable)  # i16 [H, W]
-            blk = (
-                rounded16.reshape(a, 8, b, 8)
-                .transpose(0, 2, 1, 3)
-                .reshape(-1, 64)
-            )
-            out = blk[:, ZIGZAG].reshape(a, b, 64)
-            if entangle_quads:
-                out = out.reshape(a // 2, 2, b // 2, 2, 64).transpose(
-                    0, 2, 1, 3, 4
-                )
-            return out.reshape(-1, 64)
+            return plane_to_zigzag_blocks(rounded16, entangle_quads)
         mode = "plane"  # no Pallas backend: identical jnp path
 
     r = _arai_pass(plane.reshape(hh, b, 8), axis=-1)   # rows: along x
@@ -227,6 +224,75 @@ def _plane_dct_zigzag_blocks(
         # handles the two simpler copies better. Keep them separate.
         out = out.reshape(a // 2, 2, b // 2, 2, 64).transpose(0, 2, 1, 3, 4)
     return out.reshape(-1, 64)
+
+
+def plane_to_zigzag_blocks(
+    rounded16: jnp.ndarray, entangle_quads: bool
+) -> jnp.ndarray:
+    """int16 coefficient PLANE (v = row%8, u = lane%8) -> int16 [N, 64]
+    zigzag blocks, optionally in P420 MCU (quad) order. The shared tail
+    of every plane-layout DCT mode."""
+    from .tables import ZIGZAG
+
+    hh, ww = rounded16.shape
+    a, b = hh // 8, ww // 8
+    blk = (
+        rounded16.reshape(a, 8, b, 8).transpose(0, 2, 1, 3).reshape(-1, 64)
+    )
+    out = blk[:, ZIGZAG].reshape(a, b, 64)
+    if entangle_quads:
+        out = out.reshape(a // 2, 2, b // 2, 2, 64).transpose(0, 2, 1, 3, 4)
+    return out.reshape(-1, 64)
+
+
+def use_fused_phase1(
+    preset: ChromaSubsamplingPreset, variant: DCTVariant
+) -> bool:
+    """True when DMMT_P1=fused1 applies: the fused phase-1 kernel
+    implements the P420 Average subsample + MXU DCT only; other presets
+    and explicit non-default DCT variants keep their exact paths."""
+    return (
+        _plane_mode() == "fused1"
+        and preset is ChromaSubsamplingPreset.P420
+        and variant is DCTVariant.ARAI
+    )
+
+
+def fused_phase1_zigzag_blocks(
+    rgb_int: jnp.ndarray,
+    maxval: jnp.ndarray,
+    luma_q: jnp.ndarray,
+    chroma_q: jnp.ndarray,
+    height: int,
+    width: int,
+    planar: bool,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """DMMT_P1=fused1 phase 1: integer RGB ([H, W, 3] or planar
+    [3, H, W]) -> DPCM'd zigzag blocks via the ops/fused_phase1 kernel
+    (jnp oracle off Pallas backends). Same output contract as
+    encode_blocks_from_planes for the P420 preset."""
+    from .bitstream.device_pack import _use_pallas_pack
+    from .ops.fused_phase1 import fused_phase1_p420, fused_phase1_reference
+
+    ph, pw = padded_size(height, width, ChromaSubsamplingPreset.P420)
+    if planar:
+        planes = (rgb_int[0], rgb_int[1], rgb_int[2])
+    else:
+        planes = (rgb_int[..., 0], rgb_int[..., 1], rgb_int[..., 2])
+    if (ph, pw) != (height, width):
+        # black padding in the integer domain: 0 / maxval == 0.0 exactly
+        planes = tuple(
+            jnp.pad(p, ((0, ph - height), (0, pw - width))) for p in planes
+        )
+    fn = fused_phase1_p420 if _use_pallas_pack() else fused_phase1_reference
+    y_c, cb_c, cr_c = fn(*planes, maxval, luma_q, chroma_q)
+    luma_zz = plane_to_zigzag_blocks(y_c, True)
+    cb_zz = plane_to_zigzag_blocks(cb_c, False)
+    cr_zz = plane_to_zigzag_blocks(cr_c, False)
+    luma_zz = luma_zz.at[:, 0].set(dc_dpcm(luma_zz[:, 0]))
+    cb_zz = cb_zz.at[:, 0].set(dc_dpcm(cb_zz[:, 0]))
+    cr_zz = cr_zz.at[:, 0].set(dc_dpcm(cr_zz[:, 0]))
+    return luma_zz, cb_zz, cr_zz
 
 
 def encode_blocks_from_planes(
@@ -299,12 +365,18 @@ def build_pipeline_fn(
     entangle = entangle_permutation(pw // 8, ph // 8, preset)
 
     def pipeline(rgb_u16, maxval, luma_q, chroma_q):
-        rgb = rgb_u16.astype(jnp.float32) / maxval
-        rgb = pad_to_mcu_multiple(rgb, preset)
-        y, cb, cr = rgb_to_ycbcr(rgb)
-        luma_zz, cb_zz, cr_zz = encode_blocks_from_planes(
-            y, cb, cr, luma_q, chroma_q, preset, variant, entangle
-        )
+        if use_fused_phase1(preset, variant):
+            luma_zz, cb_zz, cr_zz = fused_phase1_zigzag_blocks(
+                rgb_u16, maxval, luma_q, chroma_q, height, width,
+                planar=False,
+            )
+        else:
+            rgb = rgb_u16.astype(jnp.float32) / maxval
+            rgb = pad_to_mcu_multiple(rgb, preset)
+            y, cb, cr = rgb_to_ycbcr(rgb)
+            luma_zz, cb_zz, cr_zz = encode_blocks_from_planes(
+                y, cb, cr, luma_q, chroma_q, preset, variant, entangle
+            )
         l_dc, l_ac = symbol_histograms(luma_zz)
         # chroma histograms are consumed summed: one exact pass over the
         # concatenated Cb/Cr blocks instead of two

@@ -37,6 +37,18 @@ if str(REPO_ROOT) not in sys.path:
 REFERENCE_FIXTURES = Path("/root/reference/tests")
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables at module boundaries: with ~370 tests
+    compiling hundreds of XLA:CPU programs in one process, the LLVM JIT
+    eventually segfaulted inside backend_compile (reproducibly at the
+    same late test, which passes in isolation). Bounding the live
+    executable count keeps the suite stable; cross-module program reuse
+    is minor (most modules compile their own shapes)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
