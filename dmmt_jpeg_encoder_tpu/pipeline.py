@@ -450,9 +450,25 @@ def _compiled_pipeline_batch_keyed(
         )
 
     def batched(rgb_u16, maxval, luma_q, chroma_q):
-        luma_zz, cb_zz, cr_zz = jax.vmap(
-            core, in_axes=(0, None, None, None)
-        )(rgb_u16, maxval, luma_q, chroma_q)
+        if use_fused_phase1(preset, variant):
+            # the fused kernel's pallas_call can't sit under vmap; a
+            # static Python loop launches the same B kernels (grid steps
+            # serialize on the single TensorCore anyway) and keeps batch
+            # bytes identical to per-image fused1 encodes
+            per = [
+                fused_phase1_zigzag_blocks(
+                    rgb_u16[i], maxval, luma_q, chroma_q, height, width,
+                    planar=False,
+                )
+                for i in range(rgb_u16.shape[0])
+            ]
+            luma_zz, cb_zz, cr_zz = (
+                jnp.stack([p[j] for p in per]) for j in range(3)
+            )
+        else:
+            luma_zz, cb_zz, cr_zz = jax.vmap(
+                core, in_axes=(0, None, None, None)
+            )(rgb_u16, maxval, luma_q, chroma_q)
         l_dc, l_ac = batched_symbol_histograms(luma_zz)
         # chroma histograms are consumed summed: one pass on concat Cb/Cr
         c_dc, c_ac = batched_symbol_histograms(

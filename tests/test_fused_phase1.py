@@ -127,6 +127,54 @@ def test_fused1_falls_back_exactly_for_p444(rng, monkeypatch):
     assert plane_bytes == fused_bytes
 
 
+def test_fused1_batch_matches_single(rng, monkeypatch):
+    """The legacy fused-batch pipeline loops the fused1 kernel per image
+    (no vmap over pallas_call); bytes must equal per-image encodes."""
+    from dmmt_jpeg_encoder_tpu import (
+        ChromaSubsamplingPreset, EncoderConfig, encode_array,
+    )
+    from dmmt_jpeg_encoder_tpu.encoder import _encode_batch_fused
+
+    monkeypatch.setenv("DMMT_P1", "fused1")
+    imgs = [_photo(rng, 32, 48) for _ in range(3)]
+    cfg = EncoderConfig(
+        chroma_subsampling=ChromaSubsamplingPreset.P420,
+        scan_backend="device",
+    )
+    fused = _encode_batch_fused(imgs, 255, cfg)
+    singles = [encode_array(px, 255, cfg) for px in imgs]
+    assert fused == singles
+
+
+def test_fused1_onedispatch_multi_matches_single(rng, monkeypatch):
+    """start_one_dispatch_multi loops the program per image; fused1 must
+    produce the same bytes as per-image one-dispatch."""
+    import numpy as np
+
+    from dmmt_jpeg_encoder_tpu import ChromaSubsamplingPreset, EncoderConfig
+    from dmmt_jpeg_encoder_tpu.config import QuantizationTablePreset
+    from dmmt_jpeg_encoder_tpu.onedispatch import (
+        finish_one_dispatch,
+        start_one_dispatch,
+        start_one_dispatch_multi,
+    )
+    from dmmt_jpeg_encoder_tpu.tables import quantization_table_pair
+
+    monkeypatch.setenv("DMMT_P1", "fused1")
+    cfg = EncoderConfig(chroma_subsampling=ChromaSubsamplingPreset.P420)
+    lq, cq = quantization_table_pair(QuantizationTablePreset.SPECIFICATION)
+    stack = np.stack([_photo(rng, 32, 48) for _ in range(2)])
+    multi = [
+        finish_one_dispatch(st, cfg)
+        for st in start_one_dispatch_multi(stack, 255, cfg, lq, cq)
+    ]
+    singles = [
+        finish_one_dispatch(start_one_dispatch(px, 255, cfg, lq, cq), cfg)
+        for px in stack
+    ]
+    assert multi == singles
+
+
 def test_fused1_onedispatch_planar_matches_interleaved(rng, monkeypatch):
     from dmmt_jpeg_encoder_tpu import ChromaSubsamplingPreset, EncoderConfig
     from dmmt_jpeg_encoder_tpu.config import QuantizationTablePreset
