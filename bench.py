@@ -332,13 +332,19 @@ def child_main(args) -> int:
 
         results: dict[tuple, float] = {}
 
-        def candidate(tag, p1, hist, group=1, stack=None):
+        def candidate(tag, p1, hist, group=1, stack_fn=None):
             if time.monotonic() >= deadline:
                 print(f"mode-sweep: budget out, skipping {tag}", file=sys.stderr)
                 return
             try:
                 set_env(p1, hist)
-                ms = (_floor_single() if group == 1 else _floor_multi(stack, group)) * 1e3
+                if group == 1:
+                    ms = _floor_single() * 1e3
+                else:
+                    # stack upload inside the try: a transient device
+                    # failure here must not discard earlier results
+                    stack = stack_fn()
+                    ms = _floor_multi(stack, group) * 1e3
                 results[(p1, hist, group)] = ms
                 print(
                     f"mode-sweep {tag}: {ms:.2f} ms/image "
@@ -356,13 +362,17 @@ def child_main(args) -> int:
             best_p1 = min(results, key=results.get)[0]
             candidate(f"{best_p1}/fused-hist", best_p1, "fused")
             best_p1, best_hist, _ = min(results, key=results.get)
-            dev2 = jax.device_put(
-                np.stack([pixels, np.roll(pixels, 17, axis=0)])
-            )
-            jax.block_until_ready(dev2)
+
+            def _dev2():
+                d = jax.device_put(
+                    np.stack([pixels, np.roll(pixels, 17, axis=0)])
+                )
+                jax.block_until_ready(d)
+                return d
+
             candidate(
                 f"{best_p1}/{best_hist}/multi2", best_p1, best_hist,
-                group=2, stack=dev2,
+                group=2, stack_fn=_dev2,
             )
         for k, v in saved.items():
             os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
@@ -398,11 +408,13 @@ def child_main(args) -> int:
                 file=sys.stderr,
             )
 
-    _bench_components()
-    _bench_e2e()
-    _bench_batch()
+    if not args.device_only:
+        _bench_components()
+        _bench_e2e()
+        _bench_batch()
     _bench_device_only()
-    _bench_quality()  # before the floor so the recorded line stays last
+    if not args.device_only:
+        _bench_quality()  # before the floor so the recorded line stays last
     winner = _stage("mode-sweep")(_mode_sweep)(args.sweep_budget)
     _bench_program_floor(winner)
     return 0
@@ -496,6 +508,11 @@ def main() -> int:
     ap.add_argument("--width", type=int, default=3840)
     ap.add_argument("--height", type=int, default=2160)
     ap.add_argument("--preset", default="P420")
+    ap.add_argument(
+        "--device-only", action="store_true",
+        help="skip the host-path stages (components/e2e/batch/quality); "
+        "measure only the device-resident one-dispatch stages",
+    )
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--attempts", type=int, default=3)
     ap.add_argument(
@@ -522,7 +539,7 @@ def main() -> int:
         "--rounds", str(args.rounds), "--batch", str(args.batch),
         "--width", str(args.width), "--height", str(args.height),
         "--preset", args.preset, "--sweep-budget", str(args.sweep_budget),
-    ]
+    ] + (["--device-only"] if args.device_only else [])
     metrics: dict = {}
     backoffs = [45.0, 90.0, 180.0]
     for attempt in range(args.attempts):

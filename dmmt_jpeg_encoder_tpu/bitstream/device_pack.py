@@ -31,7 +31,7 @@ fallbacks that raise on missing symbols.
 from __future__ import annotations
 
 from functools import lru_cache
-from ..utils.capability import trace_mode_key
+from ..utils.capability import mode_keyed_cache
 
 import numpy as np
 import jax
@@ -388,18 +388,10 @@ def _check_bits_enabled() -> bool:
     return bool(os.environ.get("DMMT_CHECK_BITS"))
 
 
+@mode_keyed_cache(maxsize=64)
 def _compiled_fused_pack(
     n_luma: int, n_chroma: int, luma_per_mcu: int, n_words: int,
     k_dc: int, k_ac: int,
-):
-    return _compiled_fused_pack_keyed(n_luma, n_chroma, luma_per_mcu, n_words, k_dc, k_ac, _mode=trace_mode_key())
-
-
-@lru_cache(maxsize=64)
-def _compiled_fused_pack_keyed(
-    n_luma: int, n_chroma: int, luma_per_mcu: int, n_words: int,
-    k_dc: int, k_ac: int,
-    *, _mode=None,
 ):
     from .fused_pack import fused_pack_words
 
@@ -474,12 +466,8 @@ def _interleave_scan(luma, cb, cr, n_mcu: int, luma_per_mcu: int):
     ).reshape(-1, 64)
 
 
+@mode_keyed_cache(maxsize=32)
 def _compiled_pack(n_luma: int, n_chroma: int, luma_per_mcu: int, n_words: int):
-    return _compiled_pack_keyed(n_luma, n_chroma, luma_per_mcu, n_words, _mode=trace_mode_key())
-
-
-@lru_cache(maxsize=32)
-def _compiled_pack_keyed(n_luma: int, n_chroma: int, luma_per_mcu: int, n_words: int, *, _mode=None):
     perm, is_luma = scan_order_permutation(n_luma, n_chroma, luma_per_mcu)
     table_idx = (~is_luma).astype(np.int32)
 
@@ -563,16 +551,9 @@ def device_pack_scan_batch(
     return out
 
 
+@mode_keyed_cache(maxsize=16)
 def _compiled_pack_batch(
     b: int, n_luma: int, n_chroma: int, luma_per_mcu: int, words_cap: int
-):
-    return _compiled_pack_batch_keyed(b, n_luma, n_chroma, luma_per_mcu, words_cap, _mode=trace_mode_key())
-
-
-@lru_cache(maxsize=16)
-def _compiled_pack_batch_keyed(
-    b: int, n_luma: int, n_chroma: int, luma_per_mcu: int, words_cap: int,
-    *, _mode=None,
 ):
     perm, is_luma = scan_order_permutation(n_luma, n_chroma, luma_per_mcu)
     ns = len(perm)

@@ -27,8 +27,8 @@ through the two-dispatch host-table path.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
-from functools import lru_cache
 
 import numpy as np
 import jax
@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from .config import ChromaSubsamplingPreset, DCTVariant, EncoderConfig
 from .huffman.spec import SymbolCodeLength
-from .utils.capability import trace_mode_key
+from .utils.capability import mode_keyed_cache
 
 K_DC_CAP = 16
 K_AC_CAP = 256
@@ -70,6 +70,20 @@ def one_dispatch_supported(height: int, width: int,
     # every luma coefficient could emit a symbol; the AC luma table sees
     # at most 64 * blocks symbols
     return luma_blocks * 64 < MAX_DEVICE_TABLE_SYMBOLS
+
+
+def _total_blocks(
+    height: int, width: int, preset: ChromaSubsamplingPreset
+) -> int:
+    """Luma + chroma 8x8 block count of one padded image."""
+    from .ops.geometry import padded_size
+
+    ph, pw = padded_size(height, width, preset)
+    n_luma = (ph // 8) * (pw // 8)
+    n_chroma = (ph // preset.vertical_rate // 8) * (
+        pw // preset.horizontal_rate // 8
+    )
+    return n_luma + 2 * n_chroma
 
 
 def _build_onedispatch_program(
@@ -197,24 +211,13 @@ def _build_onedispatch_program(
     return program
 
 
+@mode_keyed_cache(maxsize=32)
 def _compiled_onedispatch(
     height: int,
     width: int,
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
     planar: bool = False,
-):
-    return _compiled_onedispatch_keyed(height, width, preset, variant, planar=planar, _mode=trace_mode_key())
-
-
-@lru_cache(maxsize=32)
-def _compiled_onedispatch_keyed(
-    height: int,
-    width: int,
-    preset: ChromaSubsamplingPreset,
-    variant: DCTVariant,
-    planar: bool = False,
-    *, _mode=None,
 ):
     return jax.jit(
         _build_onedispatch_program(height, width, preset, variant, planar)
@@ -224,6 +227,7 @@ def _compiled_onedispatch_keyed(
 N_ONEDISPATCH_OUTPUTS = 9
 
 
+@mode_keyed_cache(maxsize=8)
 def _compiled_onedispatch_multi(
     n_images: int,
     height: int,
@@ -231,19 +235,6 @@ def _compiled_onedispatch_multi(
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
     planar: bool = False,
-):
-    return _compiled_onedispatch_multi_keyed(n_images, height, width, preset, variant, planar=planar, _mode=trace_mode_key())
-
-
-@lru_cache(maxsize=8)
-def _compiled_onedispatch_multi_keyed(
-    n_images: int,
-    height: int,
-    width: int,
-    preset: ChromaSubsamplingPreset,
-    variant: DCTVariant,
-    planar: bool = False,
-    *, _mode=None,
 ):
     """n_images full encodes in ONE jit program (VERDICT r2 #2b): the
     ~0.45 ms per-dispatch device-side fixed cost is paid once per group
@@ -279,6 +270,18 @@ def start_one_dispatch_multi(
         height, width = int(pixels_stack.shape[2]), int(pixels_stack.shape[3])
     else:
         height, width = int(pixels_stack.shape[1]), int(pixels_stack.shape[2])
+    # Very large single jit programs (≳400K blocks) have OOM-killed this
+    # environment's remote compile helper (encode_batch caps its fused
+    # chunks for the same reason). Fail fast with an actionable message
+    # instead of a multi-minute compile death.
+    blocks_per_image = _total_blocks(height, width, config.chroma_subsampling)
+    limit = int(os.environ.get("DMMT_MULTI_MAX_BLOCKS", "400000"))
+    if b * blocks_per_image > limit:
+        raise ValueError(
+            f"start_one_dispatch_multi: {b} x {blocks_per_image} blocks "
+            f"exceeds the {limit}-block single-program compile limit; "
+            f"split the group (or raise DMMT_MULTI_MAX_BLOCKS)"
+        )
     fn = _compiled_onedispatch_multi(
         b, height, width, config.chroma_subsampling, config.dct_variant,
         planar=planar,

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..tables import ZIGZAG
 from .dct import dct_matrix
+from .quantize import round_half_away_from_zero as _round_half_away
 
 TILE = 512
 
@@ -56,10 +57,6 @@ def fused_matrix(qtable_raster: jnp.ndarray) -> jnp.ndarray:
     k = jnp.asarray(_K64[:, ZIGZAG].astype(np.float32))  # [64 in, 64 zz]
     q = qtable_raster.astype(jnp.float32)[ZIGZAG]
     return k / q[None, :]
-
-
-def _round_half_away(y: jnp.ndarray) -> jnp.ndarray:
-    return jnp.sign(y) * jnp.floor(jnp.abs(y) + 0.5)
 
 
 def fused_reference(blocks: jnp.ndarray, qtable_raster: jnp.ndarray) -> jnp.ndarray:

@@ -44,17 +44,11 @@ import jax
 import jax.numpy as jnp
 
 from .dct import dct_matrix
+from .mxu_dct import _cl_matrix as _cl16  # kron(I_16, C), shared
+from .quantize import round_half_away_from_zero as _round_half_away
 
 TILE_W = 256  # input lanes per grid step; chroma output = 128 lanes
 _LEVEL_SHIFT = 128.0 / 255.0
-
-
-@lru_cache(maxsize=1)
-def _cl16() -> np.ndarray:
-    """kron(I_16, C): column DCT of sixteen 8-row groups at once."""
-    return np.kron(np.eye(16, dtype=np.float32), dct_matrix()).astype(
-        np.float32
-    )
 
 
 @lru_cache(maxsize=1)
@@ -90,10 +84,6 @@ def _dot(a, b):
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
-
-
-def _round_half_away(x):
-    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
 
 
 def _make_kernel(h: int, w: int):

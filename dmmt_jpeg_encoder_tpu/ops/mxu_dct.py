@@ -42,6 +42,7 @@ import jax
 import jax.numpy as jnp
 
 from .dct import dct_matrix
+from .quantize import round_half_away_from_zero
 
 TILE_W = 384  # 3 MXU lane chunks; divides both 3840 and 1920
 
@@ -90,9 +91,9 @@ def _make_kernel(h: int, w: int):
                 preferred_element_type=jnp.float32,
             )
             scaled = t2 / qb_ref[:, sl]
-            o_ref[:, sl] = (
-                jnp.sign(scaled) * jnp.floor(jnp.abs(scaled) + 0.5)
-            ).astype(jnp.int16)
+            o_ref[:, sl] = round_half_away_from_zero(scaled).astype(
+                jnp.int16
+            )
 
     return kernel
 

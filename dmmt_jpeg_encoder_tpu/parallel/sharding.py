@@ -25,7 +25,6 @@ ppermute per channel — nothing else crosses chips.
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 import numpy as np
 import jax
@@ -53,7 +52,7 @@ from ..ops.geometry import (
 from ..ops.quantize import quantize_zigzag
 from ..pipeline import DeviceEncodeResult
 from ..tables import quantization_table_pair
-from ..utils.capability import trace_mode_key
+from ..utils.capability import mode_keyed_cache
 
 AXIS = "mcu_rows"
 
@@ -172,24 +171,13 @@ def _make_phase1(
     return phase1, geom
 
 
+@mode_keyed_cache(maxsize=16)
 def _compiled_sharded(
     height: int,
     width: int,
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
     num_shards: int,
-):
-    return _compiled_sharded_keyed(height, width, preset, variant, num_shards, _mode=trace_mode_key())
-
-
-@lru_cache(maxsize=16)
-def _compiled_sharded_keyed(
-    height: int,
-    width: int,
-    preset: ChromaSubsamplingPreset,
-    variant: DCTVariant,
-    num_shards: int,
-    *, _mode=None,
 ):
     phase1, geom = _make_phase1(height, width, preset, variant, num_shards)
     mesh = build_mesh(num_shards)
@@ -226,6 +214,7 @@ def _compiled_sharded_keyed(
     return jax.jit(sharded), mesh, geom
 
 
+@mode_keyed_cache(maxsize=16)
 def _compiled_sharded_onedispatch(
     height: int,
     width: int,
@@ -233,19 +222,6 @@ def _compiled_sharded_onedispatch(
     variant: DCTVariant,
     num_shards: int,
     gather: bool = False,
-):
-    return _compiled_sharded_onedispatch_keyed(height, width, preset, variant, num_shards, gather=gather, _mode=trace_mode_key())
-
-
-@lru_cache(maxsize=16)
-def _compiled_sharded_onedispatch_keyed(
-    height: int,
-    width: int,
-    preset: ChromaSubsamplingPreset,
-    variant: DCTVariant,
-    num_shards: int,
-    gather: bool = False,
-    *, _mode=None,
 ):
     """The WHOLE sharded encode as ONE jit program (VERDICT r2 #4).
 
@@ -489,6 +465,7 @@ def merge_bit_streams(chunks: list) -> tuple[np.ndarray, int]:
     return out[: (total_bits + 7) // 8], total_bits
 
 
+@mode_keyed_cache(maxsize=16)
 def _compiled_shard_pack(
     num_shards: int,
     nl_s: int,
@@ -499,22 +476,6 @@ def _compiled_shard_pack(
     valid_mcu_rows: int,
     mcus_per_row: int,
     use_fused_key: bool = False,
-):
-    return _compiled_shard_pack_keyed(num_shards, nl_s, nc_s, luma_per_mcu, words_cap, rows_per_shard, valid_mcu_rows, mcus_per_row, use_fused_key=use_fused_key, _mode=trace_mode_key())
-
-
-@lru_cache(maxsize=16)
-def _compiled_shard_pack_keyed(
-    num_shards: int,
-    nl_s: int,
-    nc_s: int,
-    luma_per_mcu: int,
-    words_cap: int,
-    rows_per_shard: int,
-    valid_mcu_rows: int,
-    mcus_per_row: int,
-    use_fused_key: bool = False,
-    *, _mode=None,
 ):
     from ..bitstream.device_pack import (
         _interleave_scan,

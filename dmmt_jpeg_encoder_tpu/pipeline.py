@@ -17,7 +17,6 @@ construction, scan packing, container — is the thin host tail
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import lru_cache
 
 import numpy as np
 import jax
@@ -36,7 +35,7 @@ from .ops.geometry import (
 )
 from .ops.quantize import quantize_zigzag
 from .entropy.categorize import dc_dpcm, symbol_histograms
-from .utils.capability import trace_mode_key
+from .utils.capability import mode_keyed_cache
 
 
 @dataclass
@@ -310,8 +309,13 @@ def encode_blocks_from_planes(
     Factored out so the sharded (shard_map) pipeline can reuse it per shard.
     """
     mode = _plane_mode()
+    if mode == "fused1":
+        # callers land here only when the fused phase-1 kernel does not
+        # apply (non-P420 preset, or the sharded/batch tail): use the
+        # default exact plane path, as documented in _plane_mode
+        mode = "plane"
     if variant is DCTVariant.ARAI and mode in (
-        "plane", "plane_mm", "plane2", "pallas"
+        "plane", "plane_mm", "plane2", "pallas", "mxu"
     ):
         luma_zz = _plane_dct_zigzag_blocks(
             y, luma_q, entangle is not None, mode
@@ -396,42 +400,22 @@ def build_pipeline_fn(
     return pipeline
 
 
+@mode_keyed_cache(maxsize=32)
 def _compiled_pipeline(
     height: int,
     width: int,
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
 ):
-    return _compiled_pipeline_keyed(height, width, preset, variant, _mode=trace_mode_key())
-
-
-@lru_cache(maxsize=32)
-def _compiled_pipeline_keyed(
-    height: int,
-    width: int,
-    preset: ChromaSubsamplingPreset,
-    variant: DCTVariant,
-    *, _mode=None,
-):
     return jax.jit(build_pipeline_fn(height, width, preset, variant))
 
 
+@mode_keyed_cache(maxsize=16)
 def _compiled_pipeline_batch(
     height: int,
     width: int,
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
-):
-    return _compiled_pipeline_batch_keyed(height, width, preset, variant, _mode=trace_mode_key())
-
-
-@lru_cache(maxsize=16)
-def _compiled_pipeline_batch_keyed(
-    height: int,
-    width: int,
-    preset: ChromaSubsamplingPreset,
-    variant: DCTVariant,
-    *, _mode=None,
 ):
     """One dispatch for B images: the per-image block pipeline is vmapped,
     then per-image histograms run as GROUPED Pallas kernels (a pallas_call

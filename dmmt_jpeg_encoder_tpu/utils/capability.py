@@ -25,6 +25,7 @@ degradation is never silent.
 
 from __future__ import annotations
 
+import functools
 import os
 import sys
 from functools import lru_cache
@@ -32,7 +33,7 @@ from functools import lru_cache
 import jax
 import jax.numpy as jnp
 
-__all__ = ["pallas_capable", "trace_mode_key"]
+__all__ = ["mode_keyed_cache", "pallas_capable", "trace_mode_key"]
 
 
 def trace_mode_key() -> tuple:
@@ -49,6 +50,30 @@ def trace_mode_key() -> tuple:
         bool(os.environ.get("DMMT_NO_FUSED_PACK")),
         pallas_capable(),
     )
+
+
+def mode_keyed_cache(maxsize: int):
+    """``lru_cache`` whose key silently includes ``trace_mode_key()``.
+
+    Every cached jitted-program builder must key on the env modes baked
+    into the trace; hand-threading a ``_mode=trace_mode_key()`` kwarg
+    through wrapper pairs is exactly the pattern that rots (a builder
+    that forgets it reintroduces the env-toggle cache-staleness bug the
+    round-3 review found). Decorate the builder once instead."""
+
+    def deco(fn):
+        @lru_cache(maxsize=maxsize)
+        def keyed(_mode, *args, **kw):
+            return fn(*args, **kw)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kw):
+            return keyed(trace_mode_key(), *args, **kw)
+
+        wrapper.cache_clear = keyed.cache_clear
+        return wrapper
+
+    return deco
 
 
 def pallas_capable() -> bool:

@@ -110,6 +110,27 @@ def test_e2e_mxu_mode_decodes(rng, monkeypatch):
     assert m > 30
 
 
+def test_mxu_mode_actually_dispatches_the_mxu_path(rng, monkeypatch):
+    """Regression: the encode_blocks_from_planes mode gate excluded
+    "mxu", so DMMT_P1=mxu silently ran the default blockize+ARAI path.
+    PSNR-parity tests cannot catch that (both paths are correct
+    encoders); assert the MXU DCT entry points are actually CALLED."""
+    import dmmt_jpeg_encoder_tpu as dj
+    from dmmt_jpeg_encoder_tpu.ops import mxu_dct
+
+    calls = []
+    for name in ("plane_dct_quant_mxu", "mxu_dct_reference"):
+        orig = getattr(mxu_dct, name)
+        monkeypatch.setattr(
+            mxu_dct, name,
+            lambda *a, _o=orig, _n=name, **k: (calls.append(_n), _o(*a, **k))[1],
+        )
+    monkeypatch.setenv("DMMT_P1", "mxu")
+    px = rng.integers(0, 256, (40, 72, 3), dtype=np.uint8)  # fresh geometry
+    dj.encode_array(px, 255, dj.EncoderConfig())
+    assert calls, "DMMT_P1=mxu did not reach the MXU DCT path"
+
+
 def test_mxu_mode_without_pallas_uses_oracle(rng, monkeypatch):
     """Off Pallas backends DMMT_P1=mxu routes through the jnp oracle and
     still produces a valid encode."""
