@@ -21,11 +21,13 @@ int16 coefficients happens in-register:
 - quantize (divide by the tiled table), round half away from zero
   (reference: src/image/writer/jpeg/quantizer.rs:53-63), cast int16.
 
-Grid: one step per 128 input rows x TILE_W input lanes. The same step
-writes the luma coefficient tile [128, TILE_W] and the Cb/Cr coefficient
-tiles [64, TILE_W/2] (chroma rows 64*i .. 64*i+63 read exactly input rows
-128*i .. 128*i+127, so the blocking is self-contained; 64 and TILE_W/2
-are multiples of 8, keeping every 8-point DCT group inside one tile).
+Grid: one step per 128 input rows x TILE_W input lanes (TILE_W =
+DMMT_FUSED1_TILEW, default 256, multiples of 256 — see _tile_w). The same
+step writes the luma coefficient tile [128, TILE_W] and the Cb/Cr
+coefficient tiles [64, TILE_W/2] (chroma rows 64*i .. 64*i+63 read exactly
+input rows 128*i .. 128*i+127, so the blocking is self-contained; 64 and
+TILE_W/2 are multiples of 8, keeping every 8-point DCT group inside one
+tile).
 
 NUMERICS: like DMMT_P1=mxu this is NOT Arai-bit-exact (different f32
 summation order in the DCT; the subsample differs from the XLA path's
@@ -47,8 +49,20 @@ from .dct import dct_matrix
 from .mxu_dct import _cl_matrix as _cl16  # kron(I_16, C), shared
 from .quantize import round_half_away_from_zero as _round_half_away
 
-TILE_W = 256  # input lanes per grid step; chroma output = 128 lanes
 _LEVEL_SHIFT = 128.0 / 255.0
+
+
+def _tile_w() -> int:
+    """Input lanes per grid step (DMMT_FUSED1_TILEW, default 256). Must
+    be a multiple of 256: the chroma half-width tiles then stay exact
+    128-lane chunks of the shared kron(I16, C) row-DCT operand. Baked
+    into traced programs (utils/capability.trace_mode_key)."""
+    tw = int(os.environ.get("DMMT_FUSED1_TILEW", "256"))
+    if tw <= 0 or tw % 256:
+        raise ValueError(
+            f"DMMT_FUSED1_TILEW must be a positive multiple of 256, got {tw}"
+        )
+    return tw
 
 
 @lru_cache(maxsize=1)
@@ -68,13 +82,13 @@ def _d2_rows() -> np.ndarray:
     return d
 
 
-@lru_cache(maxsize=1)
-def _s_cols() -> np.ndarray:
-    """[TILE_W, TILE_W//2] one-hot: out lane c = in lane 2c + in lane
-    2c+1. Lane pairs never straddle a tile boundary (TILE_W is even)."""
-    s = np.zeros((TILE_W, TILE_W // 2), np.float32)
-    s[np.arange(0, TILE_W, 2), np.arange(TILE_W // 2)] = 1.0
-    s[np.arange(1, TILE_W, 2), np.arange(TILE_W // 2)] = 1.0
+@lru_cache(maxsize=4)
+def _s_cols(tile_w: int) -> np.ndarray:
+    """[tile_w, tile_w//2] one-hot: out lane c = in lane 2c + in lane
+    2c+1. Lane pairs never straddle a tile boundary (tile_w is even)."""
+    s = np.zeros((tile_w, tile_w // 2), np.float32)
+    s[np.arange(0, tile_w, 2), np.arange(tile_w // 2)] = 1.0
+    s[np.arange(1, tile_w, 2), np.arange(tile_w // 2)] = 1.0
     return s
 
 
@@ -86,10 +100,10 @@ def _dot(a, b):
     )
 
 
-def _make_kernel(h: int, w: int):
+def _make_kernel(h: int, w: int, tile_w: int):
     import jax.experimental.pallas as pl
 
-    n_chunks = TILE_W // 128
+    n_chunks = tile_w // 128
 
     def kernel(
         r_ref, g_ref, b_ref, mv_ref,
@@ -106,10 +120,10 @@ def _make_kernel(h: int, w: int):
         # Mask out-of-bounds rows/lanes of edge tiles to 0.0 (black = the
         # padder's value; also keeps unspecified OOB block padding from
         # poisoning the matmuls through NaN * 0).
-        if h % 128 or w % TILE_W:
+        if h % 128 or w % tile_w:
             rows = jax.lax.broadcasted_iota(jnp.int32, r.shape, 0)
             lanes = jax.lax.broadcasted_iota(jnp.int32, r.shape, 1)
-            ok = (rows + ti * 128 < h) & (lanes + tj * TILE_W < w)
+            ok = (rows + ti * 128 < h) & (lanes + tj * tile_w < w)
             r = jnp.where(ok, r, 0.0)
             g = jnp.where(ok, g, 0.0)
             b = jnp.where(ok, b, 0.0)
@@ -127,11 +141,19 @@ def _make_kernel(h: int, w: int):
                 jnp.int16
             )
 
-        # chroma: 2x2 Average subsample (one-hot matmuls), then DCT
+        # chroma: 2x2 Average subsample (one-hot matmuls), then DCT —
+        # column pass once on [64, TW/2], row pass per 128-lane chunk
+        # (clt is block-diagonal in 8x8 groups, so any aligned 128-lane
+        # chunk multiplies against the same kron(I16, C) operand)
         for src, oref in ((cb, ocb_ref), (cr, ocr_ref)):
             ss = _dot(_dot(d2_ref[:], src), s_ref[:]) * 0.25  # [64, TW/2]
-            t = _dot(_dot(cl8_ref[:], ss), clt_ref[:])
-            oref[:] = _round_half_away(t / qlc_ref[:]).astype(jnp.int16)
+            t1c = _dot(cl8_ref[:], ss)
+            for c in range(n_chunks // 2):
+                sl = slice(c * 128, (c + 1) * 128)
+                t = _dot(t1c[:, sl], clt_ref[:])
+                oref[:, sl] = _round_half_away(t / qlc_ref[:, sl]).astype(
+                    jnp.int16
+                )
 
     return kernel
 
@@ -151,19 +173,20 @@ def fused_phase1_p420(
     from jax.experimental.pallas import tpu as pltpu
 
     interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
+    tile_w = _tile_w()
     h, w = int(r.shape[0]), int(r.shape[1])
     assert h % 16 == 0 and w % 16 == 0, (h, w)
     cl = jnp.asarray(_cl16())
     qly = jnp.tile(
-        luma_q.astype(jnp.float32).reshape(8, 8), (16, TILE_W // 8)
+        luma_q.astype(jnp.float32).reshape(8, 8), (16, tile_w // 8)
     )
     qlc = jnp.tile(
-        chroma_q.astype(jnp.float32).reshape(8, 8), (8, TILE_W // 16)
+        chroma_q.astype(jnp.float32).reshape(8, 8), (8, tile_w // 16)
     )
     mv = jnp.asarray(maxval, jnp.float32).reshape(1, 1)
-    grid = (pl.cdiv(h, 128), pl.cdiv(w, TILE_W))
+    grid = (pl.cdiv(h, 128), pl.cdiv(w, tile_w))
     plane_spec = pl.BlockSpec(
-        (128, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        (128, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
 
     def const_spec(shape):
@@ -172,7 +195,7 @@ def fused_phase1_p420(
         )
 
     return pl.pallas_call(
-        _make_kernel(h, w),
+        _make_kernel(h, w, tile_w),
         grid=grid,
         in_specs=[
             plane_spec, plane_spec, plane_spec,
@@ -183,20 +206,20 @@ def fused_phase1_p420(
             const_spec((128, 128)),           # CL^T
             const_spec((64, 64)),             # CL8
             const_spec((64, 128)),            # D2
-            const_spec((TILE_W, TILE_W // 2)),  # S
-            const_spec((128, TILE_W)),        # luma q tiled
-            const_spec((64, TILE_W // 2)),    # chroma q tiled
+            const_spec((tile_w, tile_w // 2)),  # S
+            const_spec((128, tile_w)),        # luma q tiled
+            const_spec((64, tile_w // 2)),    # chroma q tiled
         ],
         out_specs=[
             pl.BlockSpec(
-                (128, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+                (128, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (64, TILE_W // 2), lambda i, j: (i, j),
+                (64, tile_w // 2), lambda i, j: (i, j),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (64, TILE_W // 2), lambda i, j: (i, j),
+                (64, tile_w // 2), lambda i, j: (i, j),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -214,7 +237,7 @@ def fused_phase1_p420(
         ),
         interpret=interpret,
     )(r, g, b, mv, cl, cl.T, jnp.asarray(_cl8()), jnp.asarray(_d2_rows()),
-      jnp.asarray(_s_cols()), qly, qlc)
+      jnp.asarray(_s_cols(tile_w)), qly, qlc)
 
 
 def fused_phase1_reference(

@@ -53,6 +53,28 @@ def test_kernel_matches_oracle(rng, h, w):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(e), name)
 
 
+@pytest.mark.parametrize("tile_w", [256, 512])
+def test_kernel_matches_oracle_tile_widths(rng, monkeypatch, tile_w):
+    """DMMT_FUSED1_TILEW changes the grid/operand tiling only — outputs
+    must stay exactly equal to the oracle at every width."""
+    monkeypatch.setenv("DMMT_FUSED1_TILEW", str(tile_w))
+    r, g, b = _planes(rng, 144, 592)  # edge tiles at both widths
+    lq = jnp.asarray(rng.integers(1, 60, 64).astype(np.uint8))
+    cq = jnp.asarray(rng.integers(1, 90, 64).astype(np.uint8))
+    got = fused_phase1_p420(r, g, b, jnp.float32(255.0), lq, cq)
+    want = fused_phase1_reference(r, g, b, jnp.float32(255.0), lq, cq)
+    for a, e in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(e))
+
+
+def test_tile_width_validation(monkeypatch):
+    from dmmt_jpeg_encoder_tpu.ops.fused_phase1 import _tile_w
+
+    monkeypatch.setenv("DMMT_FUSED1_TILEW", "384")
+    with pytest.raises(ValueError):
+        _tile_w()
+
+
 def test_kernel_matches_oracle_u16_maxval(rng):
     """16-bit samples + non-255 maxval flow through the same normalize."""
     r, g, b = _planes(rng, 64, 256, dtype=np.uint16, hi=1024)
