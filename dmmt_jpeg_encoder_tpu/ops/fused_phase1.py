@@ -15,9 +15,10 @@ int16 coefficients happens in-register:
   slice is a pathological relayout on TPU (ops/geometry.py), while the
   one-hots ride the MXU. Cell sum order: (tl+bl) + (tr+br), each pair an
   exact 2-term f32 add;
-- the 2-D 8x8 DCT as block-diagonal kron(I, C) matmuls with
-  precision=HIGHEST (ops/mxu_dct.py design; a default-precision f32
-  matmul may take a single bf16 pass and truncate mantissas);
+- the 2-D 8x8 DCT as block-diagonal kron(I, C) matmuls at
+  p1_precision() (ops/mxu_dct.py; default HIGHEST — a default-precision
+  f32 matmul may take a single bf16 pass and truncate mantissas;
+  DMMT_P1_PREC=high opts into the cheaper bf16x3 decomposition);
 - quantize (divide by the tiled table), round half away from zero
   (reference: src/image/writer/jpeg/quantizer.rs:53-63), cast int16.
 
@@ -47,6 +48,7 @@ import jax.numpy as jnp
 
 from .dct import dct_matrix
 from .mxu_dct import _cl_matrix as _cl16  # kron(I_16, C), shared
+from .mxu_dct import p1_precision
 from .quantize import round_half_away_from_zero as _round_half_away
 
 _LEVEL_SHIFT = 128.0 / 255.0
@@ -95,7 +97,7 @@ def _s_cols(tile_w: int) -> np.ndarray:
 def _dot(a, b):
     return jnp.dot(
         a, b,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=p1_precision(),
         preferred_element_type=jnp.float32,
     )
 

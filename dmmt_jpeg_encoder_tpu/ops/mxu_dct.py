@@ -47,6 +47,25 @@ from .quantize import round_half_away_from_zero
 TILE_W = 384  # 3 MXU lane chunks; divides both 3840 and 1920
 
 
+def p1_precision() -> jax.lax.Precision:
+    """Matmul precision for the MXU DCT modes (DMMT_P1_PREC env):
+    "highest" (default) forces the full multi-pass f32 contraction the
+    jnp oracles use; "high" is the bf16x3 decomposition — roughly half
+    the MXU passes at near-f32 accuracy. Only meaningful inside the
+    already-non-parity mxu/fused1 modes; baked into traced programs
+    (utils/capability.trace_mode_key). NOTE: interpret-mode equality
+    tests run on CPU where precision hints are no-ops, so "high" must be
+    quality-checked on real hardware (decoded PSNR vs "highest")."""
+    v = os.environ.get("DMMT_P1_PREC", "highest")
+    if v not in ("high", "highest"):
+        raise ValueError(
+            f"DMMT_P1_PREC must be 'high' or 'highest', got {v!r}"
+        )
+    return (
+        jax.lax.Precision.HIGH if v == "high" else jax.lax.Precision.HIGHEST
+    )
+
+
 @lru_cache(maxsize=1)
 def _cl_matrix() -> np.ndarray:
     """kron(I_16, C): column DCT of sixteen 8-row groups at once."""
@@ -57,6 +76,7 @@ def _cl_matrix() -> np.ndarray:
 
 def _make_kernel(h: int, w: int):
     n_chunks = TILE_W // 128
+    prec = p1_precision()
 
     def kernel(x_ref, cl_ref, clt_ref, qb_ref, o_ref):
         i = jax.lax.broadcasted_iota  # noqa: F841 (doc: 2D iota only)
@@ -74,20 +94,22 @@ def _make_kernel(h: int, w: int):
         if w % TILE_W:
             lanes = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
             x = jnp.where(lanes + tj * TILE_W < w, x, 0.0)
-        # precision=HIGHEST: Mosaic's default f32 matmul may run a single
-        # bf16 pass, truncating the 24-bit mantissas of the DCT operands
-        # (interpret-mode tests use CPU f32 and cannot catch it). HIGHEST
-        # forces the exact multi-pass f32 contraction the jnp oracle uses.
+        # Explicit precision: Mosaic's default f32 matmul may run a
+        # single bf16 pass, truncating the 24-bit mantissas of the DCT
+        # operands (interpret-mode tests use CPU f32 and cannot catch
+        # it). p1_precision() defaults to the exact multi-pass HIGHEST
+        # contraction the jnp oracle uses; DMMT_P1_PREC=high opts into
+        # the cheaper bf16x3 decomposition.
         t1 = jnp.dot(
             cl_ref[:], x,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=prec,
             preferred_element_type=jnp.float32,
         )
         for c in range(n_chunks):
             sl = slice(c * 128, (c + 1) * 128)
             t2 = jnp.dot(
                 t1[:, sl], clt_ref[:],
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
                 preferred_element_type=jnp.float32,
             )
             scaled = t2 / qb_ref[:, sl]
@@ -149,7 +171,7 @@ def mxu_dct_reference(
     t = jnp.einsum(
         "vy,aybx,ux->avbu",
         c, x, c,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=p1_precision(),
     )
     q = qtable_raster.astype(jnp.float32).reshape(8, 8)
     scaled = t / q[None, :, None, :]

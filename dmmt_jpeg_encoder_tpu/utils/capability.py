@@ -47,6 +47,7 @@ def trace_mode_key() -> tuple:
         os.environ.get("DMMT_P1", "plane"),
         os.environ.get("DMMT_HIST", "matmul"),
         os.environ.get("DMMT_FUSED1_TILEW", "256"),
+        os.environ.get("DMMT_P1_PREC", "highest"),
         bool(os.environ.get("DMMT_PALLAS_INTERPRET")),
         bool(os.environ.get("DMMT_NO_FUSED_PACK")),
         pallas_capable(),

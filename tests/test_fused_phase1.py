@@ -75,6 +75,27 @@ def test_tile_width_validation(monkeypatch):
         _tile_w()
 
 
+def test_precision_knob_plumbs_and_validates(rng, monkeypatch):
+    """DMMT_P1_PREC=high: kernel still == oracle (interpret mode runs on
+    CPU where the hint is a no-op — this pins the PLUMBING; the numeric
+    effect is hardware-A/B'd per ops/mxu_dct.p1_precision's note)."""
+    import jax
+    from dmmt_jpeg_encoder_tpu.ops.mxu_dct import p1_precision
+
+    monkeypatch.setenv("DMMT_P1_PREC", "high")
+    assert p1_precision() is jax.lax.Precision.HIGH
+    r, g, b = _planes(rng, 64, 256)
+    lq = jnp.asarray(np.full(64, 16, np.uint8))
+    cq = jnp.asarray(np.full(64, 24, np.uint8))
+    got = fused_phase1_p420(r, g, b, jnp.float32(255.0), lq, cq)
+    want = fused_phase1_reference(r, g, b, jnp.float32(255.0), lq, cq)
+    for a, e in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(e))
+    monkeypatch.setenv("DMMT_P1_PREC", "medium")
+    with pytest.raises(ValueError):
+        p1_precision()
+
+
 def test_kernel_matches_oracle_u16_maxval(rng):
     """16-bit samples + non-255 maxval flow through the same normalize."""
     r, g, b = _planes(rng, 64, 256, dtype=np.uint16, hi=1024)
