@@ -127,7 +127,8 @@ def _build_onedispatch_program(
             # DMMT_P1=fused1: normalize/color/subsample/DCT/quantize as
             # ONE Pallas kernel on the integer planes (ops/fused_phase1).
             luma_zz, cb_zz, cr_zz = fused_phase1_zigzag_blocks(
-                rgb_u16, maxval, luma_q, chroma_q, height, width, planar
+                rgb_u16, maxval, luma_q, chroma_q, height, width, planar,
+                preset=preset,
             )
             return _finish(luma_zz, cb_zz, cr_zz)
         if planar:

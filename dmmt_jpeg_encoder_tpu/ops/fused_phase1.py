@@ -1,5 +1,6 @@
-"""Fused phase 1 (P420): normalize -> RGB->YCbCr -> chroma subsample ->
-2-D DCT -> quantize, ONE Pallas kernel, zero HBM intermediates.
+"""Fused phase 1: normalize -> RGB->YCbCr -> chroma subsample (per
+preset rate; P444 skips it) -> 2-D DCT -> quantize, ONE Pallas kernel,
+zero HBM intermediates.
 
 The XLA phase-1 chain materializes the f32 Y/Cb/Cr planes (and the
 subsampled chroma planes) in HBM between the color/subsample ops and the
@@ -102,10 +103,11 @@ def _dot(a, b):
     )
 
 
-def _make_kernel(h: int, w: int, tile_w: int):
+def _make_kernel(h: int, w: int, tile_w: int, hrate: int, vrate: int):
     import jax.experimental.pallas as pl
 
     n_chunks = tile_w // 128
+    chroma_w = tile_w // hrate
 
     def kernel(
         r_ref, g_ref, b_ref, mv_ref,
@@ -143,14 +145,23 @@ def _make_kernel(h: int, w: int, tile_w: int):
                 jnp.int16
             )
 
-        # chroma: 2x2 Average subsample (one-hot matmuls), then DCT —
-        # column pass once on [64, TW/2], row pass per 128-lane chunk
-        # (clt is block-diagonal in 8x8 groups, so any aligned 128-lane
-        # chunk multiplies against the same kron(I16, C) operand)
+        # chroma: Average subsample per preset rate (one-hot matmuls:
+        # vertical row-pair D2 when vrate=2, horizontal lane-pair S when
+        # hrate=2 — P444 skips both), then DCT — column pass once on the
+        # subsampled tile, row pass per 128-lane chunk (clt is
+        # block-diagonal in 8x8 groups, so any aligned 128-lane chunk
+        # multiplies against the same kron(I16, C) operand)
+        colm_ref = cl8_ref if vrate == 2 else cl_ref
         for src, oref in ((cb, ocb_ref), (cr, ocr_ref)):
-            ss = _dot(_dot(d2_ref[:], src), s_ref[:]) * 0.25  # [64, TW/2]
-            t1c = _dot(cl8_ref[:], ss)
-            for c in range(n_chunks // 2):
+            ss = src
+            if vrate == 2:
+                ss = _dot(d2_ref[:], ss)           # [64, TW]: tl+bl
+            if hrate == 2:
+                ss = _dot(ss, s_ref[:])            # [.., TW/2]: +tr+br
+            if hrate * vrate > 1:
+                ss = ss * (1.0 / (hrate * vrate))
+            t1c = _dot(colm_ref[:], ss)
+            for c in range(chroma_w // 128):
                 sl = slice(c * 128, (c + 1) * 128)
                 t = _dot(t1c[:, sl], clt_ref[:])
                 oref[:, sl] = _round_half_away(t / qlc_ref[:, sl]).astype(
@@ -160,30 +171,39 @@ def _make_kernel(h: int, w: int, tile_w: int):
     return kernel
 
 
-def fused_phase1_p420(
+def fused_phase1(
     r: jnp.ndarray,
     g: jnp.ndarray,
     b: jnp.ndarray,
     maxval: jnp.ndarray,
     luma_q: jnp.ndarray,
     chroma_q: jnp.ndarray,
+    hrate: int = 2,
+    vrate: int = 2,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Integer R/G/B planes [H, W] (MCU-padded: H, W multiples of 16) +
-    maxval + raster uint8[64] tables -> (luma [H, W], cb [H/2, W/2],
-    cr [H/2, W/2]) int16 quantized coefficient planes."""
+    """Integer R/G/B planes [H, W] (MCU-padded: H, W multiples of
+    8*vrate / 8*hrate) + maxval + raster uint8[64] tables ->
+    (luma [H, W], cb/cr [H/vrate, W/hrate]) int16 quantized coefficient
+    planes. (hrate, vrate): P444=(1,1), P422=(2,1), P420=(2,2)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    assert hrate in (1, 2) and vrate in (1, 2) and hrate >= vrate, (
+        hrate, vrate,
+    )
     interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
     tile_w = _tile_w()
+    chroma_w = tile_w // hrate
+    chroma_rows = 128 // vrate
     h, w = int(r.shape[0]), int(r.shape[1])
-    assert h % 16 == 0 and w % 16 == 0, (h, w)
+    assert h % (8 * vrate) == 0 and w % (8 * hrate) == 0, (h, w)
     cl = jnp.asarray(_cl16())
     qly = jnp.tile(
         luma_q.astype(jnp.float32).reshape(8, 8), (16, tile_w // 8)
     )
     qlc = jnp.tile(
-        chroma_q.astype(jnp.float32).reshape(8, 8), (8, tile_w // 16)
+        chroma_q.astype(jnp.float32).reshape(8, 8),
+        (chroma_rows // 8, chroma_w // 8),
     )
     mv = jnp.asarray(maxval, jnp.float32).reshape(1, 1)
     grid = (pl.cdiv(h, 128), pl.cdiv(w, tile_w))
@@ -196,8 +216,12 @@ def fused_phase1_p420(
             shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
         )
 
+    chroma_spec = pl.BlockSpec(
+        (chroma_rows, chroma_w), lambda i, j: (i, j),
+        memory_space=pltpu.VMEM,
+    )
     return pl.pallas_call(
-        _make_kernel(h, w, tile_w),
+        _make_kernel(h, w, tile_w, hrate, vrate),
         grid=grid,
         in_specs=[
             plane_spec, plane_spec, plane_spec,
@@ -210,36 +234,36 @@ def fused_phase1_p420(
             const_spec((64, 128)),            # D2
             const_spec((tile_w, tile_w // 2)),  # S
             const_spec((128, tile_w)),        # luma q tiled
-            const_spec((64, tile_w // 2)),    # chroma q tiled
+            const_spec((chroma_rows, chroma_w)),  # chroma q tiled
         ],
         out_specs=[
             pl.BlockSpec(
                 (128, tile_w), lambda i, j: (i, j), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (64, tile_w // 2), lambda i, j: (i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (64, tile_w // 2), lambda i, j: (i, j),
-                memory_space=pltpu.VMEM,
-            ),
+            chroma_spec,
+            chroma_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((h, w), jnp.int16),
-            jax.ShapeDtypeStruct((h // 2, w // 2), jnp.int16),
-            jax.ShapeDtypeStruct((h // 2, w // 2), jnp.int16),
+            jax.ShapeDtypeStruct((h // vrate, w // hrate), jnp.int16),
+            jax.ShapeDtypeStruct((h // vrate, w // hrate), jnp.int16),
         ],
         cost_estimate=pl.CostEstimate(
             # HIGHEST f32 matmuls decompose into multiple bf16 passes;
             # dominated by the luma 2 x 128-MAC/element contractions.
             flops=2 * h * w * 256 * 8,
-            bytes_accessed=h * w * (3 + 2) + (h // 2) * (w // 2) * 4,
+            bytes_accessed=h * w * (3 + 2)
+            + (h // vrate) * (w // hrate) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
     )(r, g, b, mv, cl, cl.T, jnp.asarray(_cl8()), jnp.asarray(_d2_rows()),
       jnp.asarray(_s_cols(tile_w)), qly, qlc)
+
+
+def fused_phase1_p420(r, g, b, maxval, luma_q, chroma_q):
+    """P420 alias (the original entry point)."""
+    return fused_phase1(r, g, b, maxval, luma_q, chroma_q, 2, 2)
 
 
 def fused_phase1_reference(
@@ -249,10 +273,12 @@ def fused_phase1_reference(
     maxval: jnp.ndarray,
     luma_q: jnp.ndarray,
     chroma_q: jnp.ndarray,
+    hrate: int = 2,
+    vrate: int = 2,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """jnp oracle for the kernel (identical f32 math: same color op
-    order, the same 2-term pair sums, HIGHEST DCT contractions). Used by
-    tests and as the CPU fallback when Pallas is unavailable."""
+    order, the same 2-term pair sums, p1_precision() DCT contractions).
+    Used by tests and as the CPU fallback when Pallas is unavailable."""
     from .mxu_dct import mxu_dct_reference
 
     inv = 1.0 / jnp.asarray(maxval, jnp.float32)
@@ -264,11 +290,18 @@ def fused_phase1_reference(
     cr = (rf * 0.5 + gf * -0.4186 + bf * -0.0813) * 255.0
 
     def subsample_pairs(chan):
+        # kernel sum order: vertical pair first (tl+bl | tr+br), then
+        # horizontal pair, then one scale — each pair an exact 2-term add
         h, w = chan.shape
-        v = chan.reshape(h // 2, 2, w)
-        rows = v[:, 0, :] + v[:, 1, :]                # tl+bl | tr+br
-        p = rows.reshape(h // 2, w // 2, 2)
-        return (p[:, :, 0] + p[:, :, 1]) * 0.25       # (tl+bl)+(tr+br)
+        if vrate == 2:
+            v = chan.reshape(h // 2, 2, w)
+            chan = v[:, 0, :] + v[:, 1, :]
+        if hrate == 2:
+            p = chan.reshape(chan.shape[0], w // 2, 2)
+            chan = p[:, :, 0] + p[:, :, 1]
+        if hrate * vrate > 1:
+            chan = chan * (1.0 / (hrate * vrate))
+        return chan
 
     return (
         mxu_dct_reference(y, luma_q),

@@ -78,13 +78,15 @@ def _plane_mode() -> str:
       (ops/mxu_dct.py). The ONLY mode that is NOT Arai-bit-exact: the
       f32 summation order differs, so quantized integers can flip at .5
       rounding boundaries — opt-in for throughput, never for parity.
-    - "fused1": the whole phase 1 (normalize, color, P420 subsample, MXU
-      DCT, quantize) as ONE Pallas kernel (ops/fused_phase1.py) — zero
-      HBM intermediates between the integer RGB planes and the int16
-      coefficient planes. Same non-parity caveat as "mxu"; P420+ARAI
-      only (other presets/variants fall back to "plane"). Handled by the
-      program builders (the color conversion itself moves in-kernel);
-      this function treats it as "plane" for the post-color path.
+    - "fused1": the whole phase 1 (normalize, color, preset-rate
+      subsample, MXU DCT, quantize) as ONE Pallas kernel
+      (ops/fused_phase1.py) — zero HBM intermediates between the integer
+      RGB planes and the int16 coefficient planes. Same non-parity
+      caveat as "mxu"; applies to every subsampling preset with the
+      default (ARAI) DCT selection — explicit non-default variants fall
+      back to "plane". Handled by the program builders (the color
+      conversion itself moves in-kernel); this function treats it as
+      "plane" for the post-color path.
     - "block": the original blockize-first path.
     All modes except "mxu"/"fused1" produce bit-identical blocks (f32
     elementwise ops don't depend on vectorization layout; the matmuls
@@ -247,14 +249,10 @@ def plane_to_zigzag_blocks(
 def use_fused_phase1(
     preset: ChromaSubsamplingPreset, variant: DCTVariant
 ) -> bool:
-    """True when DMMT_P1=fused1 applies: the fused phase-1 kernel
-    implements the P420 Average subsample + MXU DCT only; other presets
-    and explicit non-default DCT variants keep their exact paths."""
-    return (
-        _plane_mode() == "fused1"
-        and preset is ChromaSubsamplingPreset.P420
-        and variant is DCTVariant.ARAI
-    )
+    """True when DMMT_P1=fused1 applies: the fused phase-1 kernel covers
+    every subsampling preset with the default (ARAI) DCT selection;
+    explicit non-default DCT variants keep their exact paths."""
+    return _plane_mode() == "fused1" and variant is DCTVariant.ARAI
 
 
 def fused_phase1_zigzag_blocks(
@@ -265,15 +263,16 @@ def fused_phase1_zigzag_blocks(
     height: int,
     width: int,
     planar: bool,
+    preset: ChromaSubsamplingPreset = ChromaSubsamplingPreset.P420,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """DMMT_P1=fused1 phase 1: integer RGB ([H, W, 3] or planar
     [3, H, W]) -> DPCM'd zigzag blocks via the ops/fused_phase1 kernel
     (jnp oracle off Pallas backends). Same output contract as
-    encode_blocks_from_planes for the P420 preset."""
+    encode_blocks_from_planes."""
     from .bitstream.device_pack import _use_pallas_pack
-    from .ops.fused_phase1 import fused_phase1_p420, fused_phase1_reference
+    from .ops.fused_phase1 import fused_phase1, fused_phase1_reference
 
-    ph, pw = padded_size(height, width, ChromaSubsamplingPreset.P420)
+    ph, pw = padded_size(height, width, preset)
     if planar:
         planes = (rgb_int[0], rgb_int[1], rgb_int[2])
     else:
@@ -283,9 +282,13 @@ def fused_phase1_zigzag_blocks(
         planes = tuple(
             jnp.pad(p, ((0, ph - height), (0, pw - width))) for p in planes
         )
-    fn = fused_phase1_p420 if _use_pallas_pack() else fused_phase1_reference
-    y_c, cb_c, cr_c = fn(*planes, maxval, luma_q, chroma_q)
-    luma_zz = plane_to_zigzag_blocks(y_c, True)
+    fn = fused_phase1 if _use_pallas_pack() else fused_phase1_reference
+    y_c, cb_c, cr_c = fn(
+        *planes, maxval, luma_q, chroma_q,
+        preset.horizontal_rate, preset.vertical_rate,
+    )
+    entangle = preset is ChromaSubsamplingPreset.P420
+    luma_zz = plane_to_zigzag_blocks(y_c, entangle)
     cb_zz = plane_to_zigzag_blocks(cb_c, False)
     cr_zz = plane_to_zigzag_blocks(cr_c, False)
     luma_zz = luma_zz.at[:, 0].set(dc_dpcm(luma_zz[:, 0]))
@@ -372,7 +375,7 @@ def build_pipeline_fn(
         if use_fused_phase1(preset, variant):
             luma_zz, cb_zz, cr_zz = fused_phase1_zigzag_blocks(
                 rgb_u16, maxval, luma_q, chroma_q, height, width,
-                planar=False,
+                planar=False, preset=preset,
             )
         else:
             rgb = rgb_u16.astype(jnp.float32) / maxval
@@ -442,7 +445,7 @@ def _compiled_pipeline_batch(
             per = [
                 fused_phase1_zigzag_blocks(
                     rgb_u16[i], maxval, luma_q, chroma_q, height, width,
-                    planar=False,
+                    planar=False, preset=preset,
                 )
                 for i in range(rgb_u16.shape[0])
             ]

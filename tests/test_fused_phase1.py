@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import pytest
 
 from dmmt_jpeg_encoder_tpu.ops.fused_phase1 import (
+    fused_phase1,
     fused_phase1_p420,
     fused_phase1_reference,
 )
@@ -34,6 +35,7 @@ def _planes(rng, h, w, dtype=np.uint8, hi=256):
     )
 
 
+@pytest.mark.parametrize("rates", [(2, 2), (2, 1), (1, 1)])
 @pytest.mark.parametrize(
     "h,w",
     [
@@ -43,12 +45,15 @@ def _planes(rng, h, w, dtype=np.uint8, hi=256):
         (256, 768),   # multi-tile both ways
     ],
 )
-def test_kernel_matches_oracle(rng, h, w):
+def test_kernel_matches_oracle(rng, h, w, rates):
+    hr, vr = rates
     r, g, b = _planes(rng, h, w)
     lq = jnp.asarray(rng.integers(1, 60, 64).astype(np.uint8))
     cq = jnp.asarray(rng.integers(1, 90, 64).astype(np.uint8))
-    got = fused_phase1_p420(r, g, b, jnp.float32(255.0), lq, cq)
-    want = fused_phase1_reference(r, g, b, jnp.float32(255.0), lq, cq)
+    got = fused_phase1(r, g, b, jnp.float32(255.0), lq, cq, hr, vr)
+    want = fused_phase1_reference(
+        r, g, b, jnp.float32(255.0), lq, cq, hr, vr
+    )
     for a, e, name in zip(got, want, ("luma", "cb", "cr")):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(e), name)
 
@@ -117,14 +122,15 @@ def _photo(rng, h, w):
     ).astype(np.uint8)
 
 
-def test_e2e_fused1_mode_decodes(rng, monkeypatch):
+@pytest.mark.parametrize("preset", ["P420", "P422", "P444"])
+def test_e2e_fused1_mode_decodes(rng, monkeypatch, preset):
     PIL = pytest.importorskip("PIL.Image")
     import dmmt_jpeg_encoder_tpu as dj
 
     px = _photo(rng, 64, 80)
     img = dj.PPMImage(80, 64, 255, px)
     cfg = dj.EncoderConfig(
-        chroma_subsampling=dj.ChromaSubsamplingPreset("P420")
+        chroma_subsampling=dj.ChromaSubsamplingPreset(preset)
     )
 
     def psnr(jpeg):
@@ -142,6 +148,30 @@ def test_e2e_fused1_mode_decodes(rng, monkeypatch):
     assert f > 30
 
 
+@pytest.mark.parametrize("preset", ["P420", "P422", "P444"])
+def test_fused1_actually_dispatches_the_kernel(rng, monkeypatch, preset):
+    """Dispatch-reached assertion (the DMMT_P1=mxu gate bug showed
+    PSNR/byte tests pass on the WRONG path): encoding under fused1 must
+    CALL the fused_phase1 entry point for every covered preset."""
+    import dmmt_jpeg_encoder_tpu as dj
+    from dmmt_jpeg_encoder_tpu.ops import fused_phase1 as fp1
+
+    calls = []
+    for name in ("fused_phase1", "fused_phase1_reference"):
+        orig = getattr(fp1, name)
+        monkeypatch.setattr(
+            fp1, name,
+            lambda *a, _o=orig, _n=name, **k: (calls.append(_n), _o(*a, **k))[1],
+        )
+    monkeypatch.setenv("DMMT_P1", "fused1")
+    px = rng.integers(0, 256, (56, 88, 3), dtype=np.uint8)  # fresh geometry
+    cfg = dj.EncoderConfig(
+        chroma_subsampling=dj.ChromaSubsamplingPreset(preset)
+    )
+    dj.encode_array(px, 255, cfg)
+    assert calls, f"DMMT_P1=fused1 did not reach the kernel for {preset}"
+
+
 def test_fused1_without_pallas_uses_oracle(rng, monkeypatch):
     monkeypatch.delenv("DMMT_PALLAS_INTERPRET", raising=False)
     monkeypatch.setenv("DMMT_P1", "fused1")
@@ -154,14 +184,16 @@ def test_fused1_without_pallas_uses_oracle(rng, monkeypatch):
     assert (parsed.width, parsed.height) == (48, 32)
 
 
-def test_fused1_falls_back_exactly_for_p444(rng, monkeypatch):
-    """Presets the kernel does not implement take the parity path — the
-    bytes must be IDENTICAL to DMMT_P1=plane."""
+def test_fused1_falls_back_exactly_for_explicit_variant(rng, monkeypatch):
+    """An explicit non-default DCT variant keeps the exact parity path —
+    the bytes must be IDENTICAL to DMMT_P1=plane."""
     import dmmt_jpeg_encoder_tpu as dj
+    from dmmt_jpeg_encoder_tpu.config import DCTVariant
 
     px = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
     cfg = dj.EncoderConfig(
-        chroma_subsampling=dj.ChromaSubsamplingPreset("P444")
+        chroma_subsampling=dj.ChromaSubsamplingPreset("P444"),
+        dct_variant=DCTVariant.SEPARATED,
     )
     monkeypatch.setenv("DMMT_P1", "plane")
     plane_bytes = dj.encode_array(px, 255, cfg)
@@ -218,7 +250,10 @@ def test_fused1_onedispatch_multi_matches_single(rng, monkeypatch):
     assert multi == singles
 
 
-def test_fused1_onedispatch_planar_matches_interleaved(rng, monkeypatch):
+@pytest.mark.parametrize("preset", ["P420", "P422", "P444"])
+def test_fused1_onedispatch_planar_matches_interleaved(
+    rng, monkeypatch, preset
+):
     from dmmt_jpeg_encoder_tpu import ChromaSubsamplingPreset, EncoderConfig
     from dmmt_jpeg_encoder_tpu.config import QuantizationTablePreset
     from dmmt_jpeg_encoder_tpu.onedispatch import (
@@ -229,7 +264,9 @@ def test_fused1_onedispatch_planar_matches_interleaved(rng, monkeypatch):
 
     monkeypatch.setenv("DMMT_P1", "fused1")
     px = _photo(rng, 48, 64)
-    cfg = EncoderConfig(chroma_subsampling=ChromaSubsamplingPreset.P420)
+    cfg = EncoderConfig(
+        chroma_subsampling=ChromaSubsamplingPreset(preset)
+    )
     lq, cq = quantization_table_pair(QuantizationTablePreset.SPECIFICATION)
     inter = finish_one_dispatch(
         start_one_dispatch(px, 255, cfg, lq, cq), cfg
