@@ -92,7 +92,12 @@ def symbol_histograms(
 
     from ..ops.pallas_histogram import matmul_histogram, pallas_histogram
 
-    mode = os.environ.get("DMMT_HIST", "matmul")
+    # DMMT_HIST default is "fused" (round-3 on-chip A/B: 14.24 vs
+    # 15.06 ms/4K program floor, bit-exact to the matmul path — PERF.md);
+    # "matmul" selects the MXU nibble-matmul path, "pallas" the
+    # masked-reduce sweep kernel. Non-Pallas backends fall back to
+    # matmul below regardless.
+    mode = os.environ.get("DMMT_HIST", "fused")
     if mode == "fused" and block_mask is None:
         # One fused structure+count kernel, zero HBM intermediates
         # (ops/pallas_block_hist.py). Masked (sharded) calls keep the
@@ -103,8 +108,6 @@ def symbol_histograms(
             from ..ops.pallas_block_hist import fused_block_histograms
 
             return fused_block_histograms(coeffs_zz)
-    # MXU nibble-matmul histogram by default; DMMT_HIST=pallas selects the
-    # 256-bin masked-reduce sweep kernel instead.
     hist = pallas_histogram if mode == "pallas" else matmul_histogram
 
     weight = (

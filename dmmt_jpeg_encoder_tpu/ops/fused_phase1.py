@@ -16,10 +16,11 @@ int16 coefficients happens in-register:
   slice is a pathological relayout on TPU (ops/geometry.py), while the
   one-hots ride the MXU. Cell sum order: (tl+bl) + (tr+br), each pair an
   exact 2-term f32 add;
-- the 2-D 8x8 DCT as block-diagonal kron(I, C) matmuls at
-  p1_precision() (ops/mxu_dct.py; default HIGHEST — a default-precision
-  f32 matmul may take a single bf16 pass and truncate mantissas;
-  DMMT_P1_PREC=high opts into the cheaper bf16x3 decomposition);
+- the 2-D 8x8 DCT as block-diagonal kron(I, C) matmuls via dot_p1
+  (ops/mxu_dct.py; default HIGHEST — a default-precision f32 matmul may
+  take a single bf16 pass and truncate mantissas; DMMT_P1_PREC=high
+  opts into a hand-written bf16x3 decomposition, since Mosaic cannot
+  lower the HIGH dot precision);
 - quantize (divide by the tiled table), round half away from zero
   (reference: src/image/writer/jpeg/quantizer.rs:53-63), cast int16.
 
@@ -49,7 +50,7 @@ import jax.numpy as jnp
 
 from .dct import dct_matrix
 from .mxu_dct import _cl_matrix as _cl16  # kron(I_16, C), shared
-from .mxu_dct import p1_precision
+from .mxu_dct import dot_p1
 from .quantize import round_half_away_from_zero as _round_half_away
 
 _LEVEL_SHIFT = 128.0 / 255.0
@@ -95,12 +96,26 @@ def _s_cols(tile_w: int) -> np.ndarray:
     return s
 
 
-def _dot(a, b):
+def _dot_exact(a, b):
+    """One-hot decimation sums (D2/S operands): these realize EXACT
+    2-term adds and must stay exact at any DMMT_P1_PREC, so always the
+    full-precision contraction (a bf16 split would re-associate the
+    residuals and drift from the oracle's direct pair adds)."""
     return jnp.dot(
         a, b,
-        precision=p1_precision(),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
+
+
+def _to_f32(x):
+    """Integer-plane load cast. Mosaic cannot lower unsigned -> float
+    directly (lowering.py's _convert_helper raises on uint8 -> float32,
+    hit on real hardware in round 3); route through int32 — exact for
+    every sample dtype the encoder ingests (<= 32-bit values)."""
+    if jnp.issubdtype(x.dtype, jnp.unsignedinteger):
+        x = x.astype(jnp.int32)
+    return x.astype(jnp.float32)
 
 
 def _make_kernel(h: int, w: int, tile_w: int, hrate: int, vrate: int):
@@ -118,9 +133,9 @@ def _make_kernel(h: int, w: int, tile_w: int, hrate: int, vrate: int):
         ti = pl.program_id(0)
         tj = pl.program_id(1)
         inv = 1.0 / mv_ref[0, 0]
-        r = r_ref[:].astype(jnp.float32) * inv
-        g = g_ref[:].astype(jnp.float32) * inv
-        b = b_ref[:].astype(jnp.float32) * inv
+        r = _to_f32(r_ref[:]) * inv
+        g = _to_f32(g_ref[:]) * inv
+        b = _to_f32(b_ref[:]) * inv
         # Mask out-of-bounds rows/lanes of edge tiles to 0.0 (black = the
         # padder's value; also keeps unspecified OOB block padding from
         # poisoning the matmuls through NaN * 0).
@@ -137,10 +152,10 @@ def _make_kernel(h: int, w: int, tile_w: int, hrate: int, vrate: int):
         cr = (r * 0.5 + g * -0.4186 + b * -0.0813) * 255.0
 
         # luma: column DCT of all 16 groups, then row DCT per 128-chunk
-        t1 = _dot(cl_ref[:], y)
+        t1 = dot_p1(cl_ref[:], y)
         for c in range(n_chunks):
             sl = slice(c * 128, (c + 1) * 128)
-            t2 = _dot(t1[:, sl], clt_ref[:])
+            t2 = dot_p1(t1[:, sl], clt_ref[:])
             oy_ref[:, sl] = _round_half_away(t2 / qly_ref[:, sl]).astype(
                 jnp.int16
             )
@@ -155,15 +170,15 @@ def _make_kernel(h: int, w: int, tile_w: int, hrate: int, vrate: int):
         for src, oref in ((cb, ocb_ref), (cr, ocr_ref)):
             ss = src
             if vrate == 2:
-                ss = _dot(d2_ref[:], ss)           # [64, TW]: tl+bl
+                ss = _dot_exact(d2_ref[:], ss)     # [64, TW]: tl+bl
             if hrate == 2:
-                ss = _dot(ss, s_ref[:])            # [.., TW/2]: +tr+br
+                ss = _dot_exact(ss, s_ref[:])      # [.., TW/2]: +tr+br
             if hrate * vrate > 1:
                 ss = ss * (1.0 / (hrate * vrate))
-            t1c = _dot(colm_ref[:], ss)
+            t1c = dot_p1(colm_ref[:], ss)
             for c in range(chroma_w // 128):
                 sl = slice(c * 128, (c + 1) * 128)
-                t = _dot(t1c[:, sl], clt_ref[:])
+                t = dot_p1(t1c[:, sl], clt_ref[:])
                 oref[:, sl] = _round_half_away(t / qlc_ref[:, sl]).astype(
                     jnp.int16
                 )
@@ -277,7 +292,7 @@ def fused_phase1_reference(
     vrate: int = 2,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """jnp oracle for the kernel (identical f32 math: same color op
-    order, the same 2-term pair sums, p1_precision() DCT contractions).
+    order, the same 2-term pair sums, the same dot_p1 DCT contractions).
     Used by tests and as the CPU fallback when Pallas is unavailable."""
     from .mxu_dct import mxu_dct_reference
 

@@ -66,6 +66,38 @@ def p1_precision() -> jax.lax.Precision:
     )
 
 
+def dot_p1(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """DCT contraction at the DMMT_P1_PREC precision, Pallas-lowerable.
+
+    Mosaic lowers only DEFAULT and HIGHEST dot precisions (its
+    _dot_general_lowering_rule raises "Unsupported dot precision: HIGH"
+    — hit on real hardware in round 3), so "high" is the bf16x3
+    decomposition written out by hand: a ~= hi(a) + lo(a) with hi the
+    bf16 rounding and lo the bf16-rounded residual, and
+
+        a @ b ~= hi(a)@hi(b) + (lo(a)@hi(b) + hi(a)@lo(b))
+
+    three single-pass bf16 MXU products with f32 accumulation versus
+    HIGHEST's six (the lo@lo term is below f32 resolution). Shared by
+    the Pallas kernels and the jnp oracles so the interpret-mode
+    equality tests pin the exact same arithmetic."""
+    if p1_precision() is jax.lax.Precision.HIGHEST:
+        return jnp.dot(
+            a, b,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    a_hi = a.astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def d(x, y):
+        return jnp.dot(x, y, preferred_element_type=jnp.float32)
+
+    return d(a_hi, b_hi) + (d(a_lo, b_hi) + d(a_hi, b_lo))
+
+
 @lru_cache(maxsize=1)
 def _cl_matrix() -> np.ndarray:
     """kron(I_16, C): column DCT of sixteen 8-row groups at once."""
@@ -76,7 +108,6 @@ def _cl_matrix() -> np.ndarray:
 
 def _make_kernel(h: int, w: int):
     n_chunks = TILE_W // 128
-    prec = p1_precision()
 
     def kernel(x_ref, cl_ref, clt_ref, qb_ref, o_ref):
         i = jax.lax.broadcasted_iota  # noqa: F841 (doc: 2D iota only)
@@ -97,21 +128,13 @@ def _make_kernel(h: int, w: int):
         # Explicit precision: Mosaic's default f32 matmul may run a
         # single bf16 pass, truncating the 24-bit mantissas of the DCT
         # operands (interpret-mode tests use CPU f32 and cannot catch
-        # it). p1_precision() defaults to the exact multi-pass HIGHEST
+        # it). dot_p1 defaults to the exact multi-pass HIGHEST
         # contraction the jnp oracle uses; DMMT_P1_PREC=high opts into
-        # the cheaper bf16x3 decomposition.
-        t1 = jnp.dot(
-            cl_ref[:], x,
-            precision=prec,
-            preferred_element_type=jnp.float32,
-        )
+        # the cheaper hand-written bf16x3 decomposition.
+        t1 = dot_p1(cl_ref[:], x)
         for c in range(n_chunks):
             sl = slice(c * 128, (c + 1) * 128)
-            t2 = jnp.dot(
-                t1[:, sl], clt_ref[:],
-                precision=prec,
-                preferred_element_type=jnp.float32,
-            )
+            t2 = dot_p1(t1[:, sl], clt_ref[:])
             scaled = t2 / qb_ref[:, sl]
             o_ref[:, sl] = round_half_away_from_zero(scaled).astype(
                 jnp.int16
@@ -161,20 +184,32 @@ def plane_dct_quant_mxu(
 def mxu_dct_reference(
     plane: jnp.ndarray, qtable_raster: jnp.ndarray
 ) -> jnp.ndarray:
-    """jnp oracle for the kernel (same contraction structure, XLA HIGHEST):
-    used by tests; also the CPU fallback when Pallas is unavailable."""
+    """jnp oracle for the kernel (same contraction arithmetic at either
+    DMMT_P1_PREC): used by tests; also the CPU fallback when Pallas is
+    unavailable. The kernel's kron(I, C) rows add only exact zeros on
+    top of each 8-term sum, so the oracle contracts per 8-group."""
     from .quantize import round_half_away_from_zero
 
     h, w = plane.shape
     c = jnp.asarray(dct_matrix())
-    x = plane.reshape(h // 8, 8, w // 8, 8)
-    t = jnp.einsum(
-        "vy,aybx,ux->avbu",
-        c, x, c,
-        precision=p1_precision(),
-    )
     q = qtable_raster.astype(jnp.float32).reshape(8, 8)
-    scaled = t / q[None, :, None, :]
-    return (
-        round_half_away_from_zero(scaled).astype(jnp.int16).reshape(h, w)
+    if p1_precision() is jax.lax.Precision.HIGHEST:
+        x = plane.reshape(h // 8, 8, w // 8, 8)
+        t = jnp.einsum(
+            "vy,aybx,ux->avbu",
+            c, x, c,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        scaled = t / q[None, :, None, :]
+        return (
+            round_half_away_from_zero(scaled).astype(jnp.int16).reshape(h, w)
+        )
+    # HIGH: the same dot_p1 (bf16x3) contractions the kernel performs —
+    # column pass C @ (8-row groups), then row pass (8-lane groups) @ C^T.
+    xr = plane.reshape(h // 8, 8, w).transpose(1, 0, 2).reshape(8, -1)
+    t1 = (
+        dot_p1(c, xr).reshape(8, h // 8, w).transpose(1, 0, 2).reshape(h, w)
     )
+    t2 = dot_p1(t1.reshape(h * (w // 8), 8), c.T).reshape(h, w)
+    scaled = t2 / jnp.tile(q, (h // 8, w // 8))
+    return round_half_away_from_zero(scaled).astype(jnp.int16)

@@ -138,7 +138,7 @@ def _make_phase1(
 
         n_luma_valid = valid_rows * luma_blocks_per_mcu_row
         n_chroma_valid = valid_rows * chroma_blocks_per_mcu_row
-        if os.environ.get("DMMT_HIST") == "fused":
+        if os.environ.get("DMMT_HIST", "fused") == "fused":
             from ..utils.capability import pallas_capable
 
             use_fused_hist = pallas_capable()

@@ -45,7 +45,7 @@ def trace_mode_key() -> tuple:
     round-3 review found exactly that)."""
     return (
         os.environ.get("DMMT_P1", "plane"),
-        os.environ.get("DMMT_HIST", "matmul"),
+        os.environ.get("DMMT_HIST", "fused"),
         os.environ.get("DMMT_FUSED1_TILEW", "256"),
         os.environ.get("DMMT_P1_PREC", "highest"),
         bool(os.environ.get("DMMT_PALLAS_INTERPRET")),
