@@ -355,25 +355,14 @@ def child_main(args) -> int:
                 print(f"mode-sweep {tag} FAILED:", file=sys.stderr)
                 traceback.print_exc()
 
-        candidate("plane/matmul", "plane", "matmul")
-        candidate("mxu/matmul", "mxu", "matmul")
-        candidate("fused1/matmul", "fused1", "matmul")
-        if results:
-            best_p1 = min(results, key=results.get)[0]
-            candidate(f"{best_p1}/fused-hist", best_p1, "fused")
-            best_p1, best_hist, _ = min(results, key=results.get)
-
-            def _dev2():
-                d = jax.device_put(
-                    np.stack([pixels, np.roll(pixels, 17, axis=0)])
-                )
-                jax.block_until_ready(d)
-                return d
-
-            candidate(
-                f"{best_p1}/{best_hist}/multi2", best_p1, best_hist,
-                group=2, stack_fn=_dev2,
-            )
+        # Candidate list pruned by the round-3 on-chip A/Bs (PERF.md):
+        # fused hist beat matmul bit-exactly (now the default), fused1
+        # beat plane, while mxu and multi-image grouping lost twice —
+        # they stay out of the sweep to keep driver-run time down (both
+        # remain env-selectable).
+        candidate("plane/fused-hist", "plane", "fused")
+        candidate("fused1/fused-hist", "fused1", "fused")
+        candidate("plane/matmul-hist", "plane", "matmul")
         for k, v in saved.items():
             os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
         if not results:
