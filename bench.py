@@ -397,15 +397,22 @@ def child_main(args) -> int:
                 file=sys.stderr,
             )
 
+    # Stage order: the sweep + headline floor run FIRST — a warm TPU
+    # session DRIFTS after ~15-20 jobs (PERF.md "Measurement
+    # discipline"; the round-3 run that measured the floor last recorded
+    # 16.9 ms where a fresh process measures 13.8), and the late
+    # position also biased the sweep toward its earliest candidate. The
+    # supervisor re-emits metrics in canonical order at the end, so the
+    # driver-recorded line stays the program floor regardless of when it
+    # was measured.
+    winner = _stage("mode-sweep")(_mode_sweep)(args.sweep_budget)
+    _bench_program_floor(winner)
+    _bench_device_only()
     if not args.device_only:
         _bench_components()
         _bench_e2e()
         _bench_batch()
-    _bench_device_only()
-    if not args.device_only:
-        _bench_quality()  # before the floor so the recorded line stays last
-    winner = _stage("mode-sweep")(_mode_sweep)(args.sweep_budget)
-    _bench_program_floor(winner)
+        _bench_quality()
     return 0
 
 
