@@ -250,12 +250,39 @@ def encode_batch(
     if config.num_shards > 1:
         return _encode_batch_sharded(images, maxval, config)
 
+    import os
+
     import jax
 
     backend = config.scan_backend
     if backend == "auto":
         backend = "device" if jax.default_backend() != "cpu" else "host"
     same_shape = len({px.shape for px in images}) == 1
+    if (
+        backend == "device"
+        and same_shape
+        and len(images) > 1
+        and fused_batch <= 1
+        and os.environ.get("DMMT_SLAB", "1") != "0"
+        and _use_one_dispatch(
+            config, int(images[0].shape[0]), int(images[0].shape[1])
+        )
+    ):
+        from .onedispatch import _total_blocks
+
+        blocks = _total_blocks(
+            int(images[0].shape[0]), int(images[0].shape[1]),
+            config.chroma_subsampling,
+        )
+        cap = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
+        b_env = os.environ.get("DMMT_SLAB_B", "auto")
+        b_max = cap // max(blocks, 1)
+        slab_b = min(
+            len(images),
+            b_max if b_env == "auto" else min(int(b_env), b_max),
+        )
+        if slab_b >= 2:
+            return _encode_batch_slab(images, maxval, config, slab_b)
     if backend == "device" and same_shape and len(images) > 1 and fused_batch > 1:
         # Cap the per-dispatch block count: very large batched programs have
         # OOM'd the TPU compiler (~400K blocks is safe at 4K and below).
@@ -338,6 +365,106 @@ def encode_batch(
         if i > 0:
             finish(i - 1)
     finish(len(images) - 1)
+    return out
+
+
+# Reused pinned host stack buffer for the slab path: fresh multi-MB
+# allocations page-fault at ~7 ms/MB (PERF.md), so the group stack is
+# assembled into one long-lived buffer per (shape, dtype).
+_SLAB_STACK_BUF: dict[tuple, np.ndarray] = {}
+
+
+def _encode_batch_slab(
+    images: list[np.ndarray],
+    maxval: int,
+    config: EncoderConfig,
+    slab_b: int,
+) -> list[bytes]:
+    """Batch encode via ROW-STACKED SLAB programs: groups of slab_b
+    same-geometry images run as ONE device program each
+    (onedispatch.start_one_dispatch_slab), amortizing the per-program
+    fixed slice (~3.2 ms: table-build sorts + dispatch) across the group.
+    Two-deep pipelined like the per-image path: group g+1's upload and
+    dispatch are issued before group g's host tails run. Bytes equal
+    per-image encode_array output (tested)."""
+    import jax
+
+    from .onedispatch import (
+        finish_one_dispatch,
+        prefetch_one_dispatch,
+        start_one_dispatch,
+        start_one_dispatch_slab,
+    )
+    from .ops.geometry import padded_size
+
+    luma_q, chroma_q = quantization_table_pair(
+        config.quantization_preset, config.quality
+    )
+    h, w = int(images[0].shape[0]), int(images[0].shape[1])
+    ph, pw = padded_size(h, w, config.chroma_subsampling)
+
+    def stack_group(part: list[np.ndarray]):
+        """Assemble the group into the reused pre-padded stack buffer."""
+        first = _narrow_pixels(part[0], maxval)
+        key = (len(part), ph, pw, first.dtype)
+        buf = _SLAB_STACK_BUF.get(key)
+        if buf is None:
+            buf = np.zeros((len(part), ph, pw, 3), dtype=first.dtype)
+            _SLAB_STACK_BUF[key] = buf
+        buf[0, :h, :w] = first
+        for j, px in enumerate(part[1:], start=1):
+            buf[j, :h, :w] = _narrow_pixels(px, maxval)
+        return buf
+
+    groups = [
+        images[i : i + slab_b] for i in range(0, len(images), slab_b)
+    ]
+    out: list[bytes] = []
+    pending: list[tuple[list, list]] = []  # (states, group)
+
+    def drain() -> None:
+        states, part = pending.pop(0)
+        for px, st in zip(part, states):
+            scan, tables = finish_one_dispatch(st, config)
+            out.append(
+                assemble_jpeg(
+                    width=int(px.shape[1]),
+                    height=int(px.shape[0]),
+                    bits_per_channel=config.bits_per_channel,
+                    preset=config.chroma_subsampling,
+                    luma_quant=luma_q,
+                    chroma_quant=chroma_q,
+                    luma_dc=tables.luma_dc,
+                    luma_ac=tables.luma_ac,
+                    chroma_dc=tables.chroma_dc,
+                    chroma_ac=tables.chroma_ac,
+                    scan_bytes=scan,
+                )
+            )
+
+    for part in groups:
+        if len(part) == 1:
+            # trailing single image: the per-image executable is already
+            # compiled in steady state only if shapes match a prior call;
+            # dispatching it through the single-image one-dispatch keeps
+            # bytes identical either way.
+            dev = jax.device_put(_narrow_pixels(part[0], maxval))
+            st = start_one_dispatch(dev, maxval, config, luma_q, chroma_q)
+            prefetch_one_dispatch(st, config)
+            states = [st]
+        else:
+            stacked = stack_group(part)
+            dev = jax.device_put(stacked)
+            states = start_one_dispatch_slab(
+                dev, maxval, config, luma_q, chroma_q
+            )
+            for st in states:
+                prefetch_one_dispatch(st, config)
+        pending.append((states, part))
+        if len(pending) > 1:
+            drain()
+    while pending:
+        drain()
     return out
 
 

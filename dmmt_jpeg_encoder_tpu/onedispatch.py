@@ -177,39 +177,256 @@ def _build_onedispatch_program(
                 ]
             )
         )
-        t_ldc, t_lac, t_cdc, t_cac = (
+        t4 = tuple(
             {k: v[i] for k, v in t_all.items()} for i in range(4)
         )
-
-        dc_s, dc_la, dc_ca, k_dc = device_sweep_tables(t_ldc, t_cdc, K_DC_CAP)
-        ac_s, ac_la, ac_ca, k_ac = device_sweep_tables(t_lac, t_cac, K_AC_CAP)
-        l_ent = (t_lac["codes_flat"] << 8) | t_lac["lens_flat"]
-        c_ent = (t_cac["codes_flat"] << 8) | t_cac["lens_flat"]
-        misc = jnp.stack([l_ent[0xF0], c_ent[0xF0], l_ent[0x00], c_ent[0x00]])
-
-        scan = _interleave_scan(luma_zz, cb_zz, cr_zz, n_chroma, lpm)
-        words, total_bits = fused_pack_words(
-            scan, stride, lpm,
-            (dc_s, dc_la, dc_ca, ac_s, ac_la, ac_ca, misc),
-            n_words,
-            k_dyn=jnp.stack([k_dc, k_ac]),
-        )
-        spec_syms = jnp.stack(
-            [t["sym_by_leaf"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
-        )
-        spec_lens = jnp.stack(
-            [t["len_by_leaf"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
-        )
-        spec_ns = jnp.stack(
-            [t["n_present"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
-        )
-        return (
-            # fused_pack_words output is already in memory byte order
-            words, total_bits, spec_syms, spec_lens, spec_ns,
-            l_dc, l_ac, c_dc, c_ac,
-        )
+        return _tables_to_pack(
+            t4, luma_zz, cb_zz, cr_zz, n_chroma, lpm, stride, n_words,
+        ) + (l_dc, l_ac, c_dc, c_ac)
 
     return program
+
+
+def _tables_to_pack(
+    t4, luma_zz, cb_zz, cr_zz, n_chroma, lpm, stride, n_words
+):
+    """Shared one-dispatch tail: four built code tables -> sweep tables ->
+    interleaved scan -> fused pack. Returns (words, total_bits, spec_syms,
+    spec_lens, spec_ns). Used once per program by the single-image builder
+    and once per IMAGE by the slab builder."""
+    from .bitstream.device_pack import _interleave_scan
+    from .bitstream.fused_pack import fused_pack_words
+    from .huffman.device_tables import device_sweep_tables
+
+    t_ldc, t_lac, t_cdc, t_cac = t4
+    dc_s, dc_la, dc_ca, k_dc = device_sweep_tables(t_ldc, t_cdc, K_DC_CAP)
+    ac_s, ac_la, ac_ca, k_ac = device_sweep_tables(t_lac, t_cac, K_AC_CAP)
+    l_ent = (t_lac["codes_flat"] << 8) | t_lac["lens_flat"]
+    c_ent = (t_cac["codes_flat"] << 8) | t_cac["lens_flat"]
+    misc = jnp.stack([l_ent[0xF0], c_ent[0xF0], l_ent[0x00], c_ent[0x00]])
+
+    scan = _interleave_scan(luma_zz, cb_zz, cr_zz, n_chroma, lpm)
+    words, total_bits = fused_pack_words(
+        scan, stride, lpm,
+        (dc_s, dc_la, dc_ca, ac_s, ac_la, ac_ca, misc),
+        n_words,
+        k_dyn=jnp.stack([k_dc, k_ac]),
+    )
+    spec_syms = jnp.stack(
+        [t["sym_by_leaf"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
+    )
+    spec_lens = jnp.stack(
+        [t["len_by_leaf"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
+    )
+    spec_ns = jnp.stack(
+        [t["n_present"] for t in (t_ldc, t_lac, t_cdc, t_cac)]
+    )
+    # fused_pack_words output is already in memory byte order
+    return words, total_bits, spec_syms, spec_lens, spec_ns
+
+
+def _build_onedispatch_slab_program(
+    n_images: int,
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    planar: bool = False,
+):
+    """B same-geometry encodes as ONE program over a ROW-STACKED slab.
+
+    The rejected multi-image form (_compiled_onedispatch_multi) loops the
+    whole single-image program B times inside one jit — it amortizes only
+    the ~0.45 ms dispatch, which pipelined floors already hide (PERF.md
+    round-3 A/B: group=2 was a wash). The slab instead runs phase 1 ONCE
+    on the [B*ph, pw] stacked image and builds all 4B Huffman tables in
+    ONE batched sort stream, so the per-PROGRAM fixed slice (~3.2 ms by
+    the T(h) = 3.2 ms + 5.05 us/row fit, dominated by the table build's
+    fixed-size sorts) is paid once per GROUP, not once per image.
+
+    Per-image independence is preserved exactly:
+    - each image is pre-padded to its own MCU multiple (so the stacked
+      slab's MCU rows never straddle images, and in-image padding content
+      matches the standalone padder: black);
+    - DC DPCM chains reset at image starts (pipeline.dc_dpcm_per_image);
+    - every image gets its OWN histograms, code tables, and packed stream,
+      so the output bytes equal B standalone encodes, bit for bit.
+    """
+    from .ops.geometry import padded_size
+
+    ph, pw = padded_size(height, width, preset)
+    n_luma = (ph // 8) * (pw // 8)
+    n_chroma = (ph // preset.vertical_rate // 8) * (
+        pw // preset.horizontal_rate // 8
+    )
+    lpm = preset.luma_blocks_per_mcu
+    stride = lpm + 2
+    n_blocks = n_luma + 2 * n_chroma
+    from .bitstream.fused_pack import fused_pack_capacity
+
+    n_words = fused_pack_capacity(n_blocks * 64 + 2)  # per image, worst case
+    tall_h = n_images * ph
+
+    from .entropy.categorize import symbol_histograms
+    from .huffman.device_tables import (
+        device_code_tables_batched,
+        pad_dc_histogram,
+    )
+    from .ops.color import rgb_to_ycbcr, rgb_to_ycbcr_planes
+    from .ops.geometry import entangle_permutation
+
+    entangle = entangle_permutation(pw // 8, tall_h // 8, preset)
+
+    def program(rgb_stack, maxval, luma_q, chroma_q):
+        from .pipeline import (
+            encode_blocks_from_planes,
+            fused_phase1_zigzag_blocks,
+            use_fused_phase1,
+        )
+
+        if planar:
+            # [B, 3, ph, pw] -> [3, B*ph, pw] (one u8/u16 transpose)
+            tall = jnp.transpose(rgb_stack, (1, 0, 2, 3)).reshape(
+                3, tall_h, pw
+            )
+        else:
+            # [B, ph, pw, 3] -> [B*ph, pw, 3]: free (contiguous)
+            tall = rgb_stack.reshape(tall_h, pw, 3)
+
+        if use_fused_phase1(preset, variant):
+            luma_zz, cb_zz, cr_zz = fused_phase1_zigzag_blocks(
+                tall, maxval, luma_q, chroma_q, tall_h, pw, planar,
+                preset=preset, n_images=n_images,
+            )
+        else:
+            if planar:
+                r = tall[0].astype(jnp.float32) / maxval
+                g = tall[1].astype(jnp.float32) / maxval
+                b = tall[2].astype(jnp.float32) / maxval
+                y, cb, cr = rgb_to_ycbcr_planes(r, g, b)
+            else:
+                y, cb, cr = rgb_to_ycbcr(tall.astype(jnp.float32) / maxval)
+            luma_zz, cb_zz, cr_zz = encode_blocks_from_planes(
+                y, cb, cr, luma_q, chroma_q, preset, variant, entangle,
+                n_images=n_images,
+            )
+
+        # Per-image histograms (independent tables per image), then ONE
+        # batched build for all 4B tables.
+        hists = []
+        stack = []
+        for i in range(n_images):
+            lz = luma_zz[i * n_luma : (i + 1) * n_luma]
+            cbz = cb_zz[i * n_chroma : (i + 1) * n_chroma]
+            crz = cr_zz[i * n_chroma : (i + 1) * n_chroma]
+            l_dc, l_ac = symbol_histograms(lz)
+            c_dc, c_ac = symbol_histograms(
+                jnp.concatenate([cbz, crz], axis=0)
+            )
+            hists.append((l_dc, l_ac, c_dc, c_ac))
+            stack += [
+                pad_dc_histogram(l_dc),
+                l_ac.astype(jnp.int32),
+                pad_dc_histogram(c_dc),
+                c_ac.astype(jnp.int32),
+            ]
+        t_all = device_code_tables_batched(jnp.stack(stack))
+
+        outs = ()
+        for i in range(n_images):
+            t4 = tuple(
+                {k: v[4 * i + j] for k, v in t_all.items()} for j in range(4)
+            )
+            lz = luma_zz[i * n_luma : (i + 1) * n_luma]
+            cbz = cb_zz[i * n_chroma : (i + 1) * n_chroma]
+            crz = cr_zz[i * n_chroma : (i + 1) * n_chroma]
+            outs = outs + _tables_to_pack(
+                t4, lz, cbz, crz, n_chroma, lpm, stride, n_words,
+            ) + hists[i]
+        return outs
+
+    return program
+
+
+@mode_keyed_cache(maxsize=8)
+def _compiled_onedispatch_slab(
+    n_images: int,
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    planar: bool = False,
+):
+    return jax.jit(
+        _build_onedispatch_slab_program(
+            n_images, height, width, preset, variant, planar
+        )
+    )
+
+
+def start_one_dispatch_slab(
+    pixels_stack,
+    maxval: int,
+    config: EncoderConfig,
+    luma_q: np.ndarray,
+    chroma_q: np.ndarray,
+) -> list[OneDispatchState]:
+    """Dispatch B same-geometry images as ONE row-stacked slab program.
+
+    pixels_stack: [B, H, W, 3] (or [B, 3, H, W] planar), host or device.
+    Images are pre-padded to the preset's MCU multiple on host (black)
+    when needed. Returns one OneDispatchState per image; finish each with
+    finish_one_dispatch as usual — bytes equal B standalone encodes."""
+    b = int(pixels_stack.shape[0])
+    planar = (
+        int(pixels_stack.shape[1]) == 3 and int(pixels_stack.shape[3]) != 3
+    )
+    if planar:
+        height, width = int(pixels_stack.shape[2]), int(pixels_stack.shape[3])
+    else:
+        height, width = int(pixels_stack.shape[1]), int(pixels_stack.shape[2])
+    from .ops.geometry import padded_size
+
+    preset = config.chroma_subsampling
+    ph, pw = padded_size(height, width, preset)
+    if (ph, pw) != (height, width):
+        # pre-pad each image so slab MCU rows never straddle images
+        arr = np.asarray(pixels_stack)
+        if planar:
+            padded = np.zeros((b, 3, ph, pw), dtype=arr.dtype)
+            padded[:, :, :height, :width] = arr
+        else:
+            padded = np.zeros((b, ph, pw, 3), dtype=arr.dtype)
+            padded[:, :height, :width] = arr
+        pixels_stack = padded
+    blocks_per_image = _total_blocks(height, width, preset)
+    limit = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
+    if b * blocks_per_image > limit:
+        raise ValueError(
+            f"start_one_dispatch_slab: {b} x {blocks_per_image} blocks "
+            f"exceeds the {limit}-block single-program compile limit; "
+            f"split the group (or raise DMMT_SLAB_MAX_BLOCKS)"
+        )
+    fn = _compiled_onedispatch_slab(
+        b, height, width, preset, config.dct_variant, planar=planar
+    )
+    out = fn(
+        jnp.asarray(pixels_stack),
+        jnp.float32(maxval),
+        jnp.asarray(luma_q),
+        jnp.asarray(chroma_q),
+    )
+    k = N_ONEDISPATCH_OUTPUTS
+    states = []
+    for i in range(b):
+        o = out[i * k : (i + 1) * k]
+        states.append(
+            OneDispatchState(
+                words=o[0], total_bits=o[1], spec_syms=o[2], spec_lens=o[3],
+                spec_ns=o[4], hists=o[5:9], height=height, width=width,
+            )
+        )
+    return states
 
 
 @mode_keyed_cache(maxsize=32)

@@ -246,6 +246,19 @@ def plane_to_zigzag_blocks(
     return out.reshape(-1, 64)
 
 
+def dc_dpcm_per_image(dc: jnp.ndarray, n_images: int) -> jnp.ndarray:
+    """DC delta chains that RESET at image boundaries: a slab program
+    (onedispatch.start_one_dispatch_slab) stacks n_images same-geometry
+    images' rows into one tall image, so its block axis is the
+    concatenation of per-image block sequences. Each image's chain starts
+    from predictor 0 exactly as a standalone encode would
+    (categorize.rs:156-161 semantics, per image)."""
+    if n_images == 1:
+        return dc_dpcm(dc)
+    per = dc.shape[0] // n_images
+    return jax.vmap(dc_dpcm)(dc.reshape(n_images, per)).reshape(-1)
+
+
 def use_fused_phase1(
     preset: ChromaSubsamplingPreset, variant: DCTVariant
 ) -> bool:
@@ -264,11 +277,13 @@ def fused_phase1_zigzag_blocks(
     width: int,
     planar: bool,
     preset: ChromaSubsamplingPreset = ChromaSubsamplingPreset.P420,
+    n_images: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """DMMT_P1=fused1 phase 1: integer RGB ([H, W, 3] or planar
     [3, H, W]) -> DPCM'd zigzag blocks via the ops/fused_phase1 kernel
     (jnp oracle off Pallas backends). Same output contract as
-    encode_blocks_from_planes."""
+    encode_blocks_from_planes. n_images > 1: the input is a row-stacked
+    slab of same-geometry images; DC chains reset per image."""
     from .bitstream.device_pack import _use_pallas_pack
     from .ops.fused_phase1 import fused_phase1, fused_phase1_reference
 
@@ -291,9 +306,9 @@ def fused_phase1_zigzag_blocks(
     luma_zz = plane_to_zigzag_blocks(y_c, entangle)
     cb_zz = plane_to_zigzag_blocks(cb_c, False)
     cr_zz = plane_to_zigzag_blocks(cr_c, False)
-    luma_zz = luma_zz.at[:, 0].set(dc_dpcm(luma_zz[:, 0]))
-    cb_zz = cb_zz.at[:, 0].set(dc_dpcm(cb_zz[:, 0]))
-    cr_zz = cr_zz.at[:, 0].set(dc_dpcm(cr_zz[:, 0]))
+    luma_zz = luma_zz.at[:, 0].set(dc_dpcm_per_image(luma_zz[:, 0], n_images))
+    cb_zz = cb_zz.at[:, 0].set(dc_dpcm_per_image(cb_zz[:, 0], n_images))
+    cr_zz = cr_zz.at[:, 0].set(dc_dpcm_per_image(cr_zz[:, 0], n_images))
     return luma_zz, cb_zz, cr_zz
 
 
@@ -306,10 +321,13 @@ def encode_blocks_from_planes(
     preset: ChromaSubsamplingPreset,
     variant: DCTVariant,
     entangle: np.ndarray | None,
+    n_images: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Shared tail from YCbCr planes to DPCM'd zigzag blocks.
 
-    Factored out so the sharded (shard_map) pipeline can reuse it per shard.
+    Factored out so the sharded (shard_map) pipeline can reuse it per
+    shard. n_images > 1: the planes are a row-stacked slab of
+    same-geometry images; DC chains reset per image.
     """
     mode = _plane_mode()
     if mode == "fused1":
@@ -354,9 +372,9 @@ def encode_blocks_from_planes(
             cb_zz = quantize_zigzag(dct2d(cb_blocks, variant), chroma_q)
             cr_zz = quantize_zigzag(dct2d(cr_blocks, variant), chroma_q)
 
-    luma_zz = luma_zz.at[:, 0].set(dc_dpcm(luma_zz[:, 0]))
-    cb_zz = cb_zz.at[:, 0].set(dc_dpcm(cb_zz[:, 0]))
-    cr_zz = cr_zz.at[:, 0].set(dc_dpcm(cr_zz[:, 0]))
+    luma_zz = luma_zz.at[:, 0].set(dc_dpcm_per_image(luma_zz[:, 0], n_images))
+    cb_zz = cb_zz.at[:, 0].set(dc_dpcm_per_image(cb_zz[:, 0], n_images))
+    cr_zz = cr_zz.at[:, 0].set(dc_dpcm_per_image(cr_zz[:, 0], n_images))
     return luma_zz, cb_zz, cr_zz
 
 

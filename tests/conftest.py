@@ -39,14 +39,32 @@ REFERENCE_FIXTURES = Path("/root/reference/tests")
 
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
-    """Free compiled executables at module boundaries: with ~370 tests
+    """Free compiled executables at module boundaries: with ~400 tests
     compiling hundreds of XLA:CPU programs in one process, the LLVM JIT
-    eventually segfaulted inside backend_compile (reproducibly at the
+    eventually abort()s inside backend_compile (reproducibly at the
     same late test, which passes in isolation). Bounding the live
     executable count keeps the suite stable; cross-module program reuse
     is minor (most modules compile their own shapes)."""
     yield
     jax.clear_caches()
+
+
+# Round 3 showed module-boundary clearing is not enough: a single module
+# (test_onedispatch) grew past the crash threshold on its own. The bound
+# must be per PROCESS, so ALSO clear every N tests regardless of module.
+# N=10 keeps parametrized neighbors sharing programs most of the time
+# while keeping the live-executable count far below the observed crash
+# zone (the heavy modules compile ~10-30 executables/test).
+_CLEAR_EVERY_N_TESTS = 10
+_test_counter = {"n": 0}
+
+
+@pytest.fixture(autouse=True)
+def _bound_live_executables_per_process():
+    yield
+    _test_counter["n"] += 1
+    if _test_counter["n"] % _CLEAR_EVERY_N_TESTS == 0:
+        jax.clear_caches()
 
 
 @pytest.fixture

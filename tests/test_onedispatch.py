@@ -1,11 +1,24 @@
 """One-dispatch encode (device tables + fused pack in one program) must be
 byte-identical to the two-dispatch host-table path."""
 
+import jax
 import numpy as np
 import pytest
 
 from dmmt_jpeg_encoder_tpu.config import ChromaSubsamplingPreset, EncoderConfig
 from dmmt_jpeg_encoder_tpu.encoder import encode_array, encode_batch
+
+
+@pytest.fixture(autouse=True)
+def _bound_compile_count_per_test():
+    """This module compiles more distinct XLA:CPU programs than any other
+    (every geometry x preset x backend is a fresh executable). Past ~a few
+    hundred live LLVM-JIT executables in one process the CPU backend
+    abort()s inside backend_compile (reproducible; see conftest). Clearing
+    per TEST (not just per module) keeps the live-executable count bounded
+    by a single test's compiles."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture
@@ -90,6 +103,7 @@ def test_one_dispatch_16bit_source(rng, interpret):
 def test_one_dispatch_geometry_fuzz(rng, interpret):
     """Odd geometries: single-MCU, single-row, padding in both axes."""
     for h, w in [(8, 8), (16, 8), (8, 24), (17, 9), (33, 15), (16, 50)]:
+        jax.clear_caches()  # each geometry compiles ~8 fresh programs
         px = _image(rng, h, w)
         for preset in ChromaSubsamplingPreset:
             d = encode_array(
