@@ -14,9 +14,10 @@ plus TPU-specific extensions:
     [--shards N]                                 multi-chip mesh shards
     [--no-native]                                disable the C scan packer
 
-`--threads` is accepted for parity but only affects host-side work; device
-parallelism comes from the XLA grid, not OS threads (the reference uses a
-thread pool for the DCT, src/lib.rs:62, which has no TPU analog).
+`--threads` sets the C PPM parser's worker count (the reference uses the
+flag as its pool size, src/cli.rs:178-180); device-side parallelism comes
+from the XLA grid, not OS threads (the reference's DCT thread pool,
+src/lib.rs:62, has no TPU analog).
 """
 
 from __future__ import annotations
@@ -63,7 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--threads",
         type=int,
         default=os.cpu_count() or 1,
-        help="host worker threads (parity flag; device work is XLA-parallel)",
+        help="host worker threads for the PPM parser (reference pool-size "
+        "semantics, cli.rs:178-180; device work is XLA-parallel)",
     )
     p.add_argument(
         "-q",
@@ -145,7 +147,7 @@ def main(argv: list[str] | None = None) -> int:
     from pathlib import Path
 
     try:
-        image = read_ppm(args.input_file)
+        image = read_ppm(args.input_file, threads=args.threads)
     except OSError as e:
         print(f"error: cannot read '{args.input_file}': {e}", file=sys.stderr)
         return 1

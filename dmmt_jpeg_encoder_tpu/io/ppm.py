@@ -66,12 +66,15 @@ class PPMImage:
         return self.pixels.astype(np.float32) / np.float32(self.maxval)
 
 
-def read_ppm(path: str | Path) -> PPMImage:
-    return read_ppm_bytes(Path(path).read_bytes())
+def read_ppm(path: str | Path, threads: int | None = None) -> PPMImage:
+    return read_ppm_bytes(Path(path).read_bytes(), threads=threads)
 
 
-def read_ppm_bytes(data: bytes) -> PPMImage:
-    image = _parse_native_mt(data)
+def read_ppm_bytes(data: bytes, threads: int | None = None) -> PPMImage:
+    """Parse a P3 PPM. `threads` sets the C fast path's worker count —
+    the `-t/--threads` CLI flag lands here, mirroring the reference's
+    pool-size semantics (cli.rs:178-180); None = all cores (<=16)."""
+    image = _parse_native_mt(data, threads=threads)
     if image is not None:
         return image
     values = _tokenize_native(data)
@@ -80,7 +83,7 @@ def read_ppm_bytes(data: bytes) -> PPMImage:
     return _build_image(values)
 
 
-def _parse_native_mt(data: bytes) -> PPMImage | None:
+def _parse_native_mt(data: bytes, threads: int | None = None) -> PPMImage | None:
     """Multithreaded native parse straight to the final pixel array
     (uint8 when maxval <= 255). None on any error — the serial/Python
     paths re-parse for precise error types."""
@@ -93,7 +96,9 @@ def _parse_native_mt(data: bytes) -> PPMImage | None:
     fn.restype = ctypes.c_long
     buf = np.frombuffer(data, dtype=np.uint8)
     hdr = np.zeros(3, dtype=np.uint32)
-    threads = min(os.cpu_count() or 1, 16)
+    if threads is None:
+        threads = min(os.cpu_count() or 1, 16)
+    threads = max(1, min(int(threads), 16))
 
     # Header peek (serial C parses it again — this picks the dtype and the
     # exact buffer size): width/height/maxval as tokens 1..3 of a prefix.

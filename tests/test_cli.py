@@ -70,3 +70,30 @@ def test_main_end_to_end(tmp_path, fixtures_dir):
 def test_main_missing_input(tmp_path):
     rc = main([str(tmp_path / "nope.ppm"), str(tmp_path / "out.jpg")])
     assert rc == 1
+
+
+def test_threads_flag_reaches_parser(tmp_path, fixtures_dir, monkeypatch):
+    """-t/--threads must set the C PPM parser's worker count (reference
+    pool-size semantics, cli.rs:178-180) — round-3 VERDICT item #7."""
+    import dmmt_jpeg_encoder_tpu.io.ppm as ppm_mod
+
+    seen: list[int | None] = []
+    real = ppm_mod._parse_native_mt
+
+    def spy(data, threads=None):
+        seen.append(threads)
+        return real(data, threads=threads)
+
+    monkeypatch.setattr(ppm_mod, "_parse_native_mt", spy)
+    out = tmp_path / "out.jpg"
+    rc = main([str(fixtures_dir / "8x8.ppm"), str(out), "-t", "1"])
+    assert rc == 0
+    assert seen == [1]
+
+
+def test_read_ppm_threads_param(fixtures_dir):
+    from dmmt_jpeg_encoder_tpu.io.ppm import read_ppm
+
+    a = read_ppm(fixtures_dir / "8x8.ppm", threads=1)
+    b = read_ppm(fixtures_dir / "8x8.ppm", threads=4)
+    assert (a.pixels == b.pixels).all() and a.maxval == b.maxval
