@@ -87,6 +87,11 @@ def _plane_mode() -> str:
       back to "plane". Handled by the program builders (the color
       conversion itself moves in-kernel); this function treats it as
       "plane" for the post-color path.
+    - "fused2": fused1's VMEM-resident single-kernel structure with the
+      ARAI dense-roll dataflow and parity subsample/normalize order
+      (ops/fused_arai.py) — BIT-IDENTICAL to "plane", with fused1's
+      zero-HBM-intermediate phase 1. Same coverage/fallback rules as
+      "fused1".
     - "block": the original blockize-first path.
     All modes except "mxu"/"fused1" produce bit-identical blocks (f32
     elementwise ops don't depend on vectorization layout; the matmuls
@@ -262,10 +267,10 @@ def dc_dpcm_per_image(dc: jnp.ndarray, n_images: int) -> jnp.ndarray:
 def use_fused_phase1(
     preset: ChromaSubsamplingPreset, variant: DCTVariant
 ) -> bool:
-    """True when DMMT_P1=fused1 applies: the fused phase-1 kernel covers
-    every subsampling preset with the default (ARAI) DCT selection;
+    """True when DMMT_P1=fused1/fused2 applies: the fused phase-1 kernels
+    cover every subsampling preset with the default (ARAI) DCT selection;
     explicit non-default DCT variants keep their exact paths."""
-    return _plane_mode() == "fused1" and variant is DCTVariant.ARAI
+    return _plane_mode() in ("fused1", "fused2") and variant is DCTVariant.ARAI
 
 
 def fused_phase1_zigzag_blocks(
@@ -285,7 +290,17 @@ def fused_phase1_zigzag_blocks(
     encode_blocks_from_planes. n_images > 1: the input is a row-stacked
     slab of same-geometry images; DC chains reset per image."""
     from .bitstream.device_pack import _use_pallas_pack
-    from .ops.fused_phase1 import fused_phase1, fused_phase1_reference
+
+    if _plane_mode() == "fused2":
+        from .ops.fused_arai import (
+            fused_arai_phase1 as kernel_fn,
+            fused_arai_reference as oracle_fn,
+        )
+    else:
+        from .ops.fused_phase1 import (
+            fused_phase1 as kernel_fn,
+            fused_phase1_reference as oracle_fn,
+        )
 
     ph, pw = padded_size(height, width, preset)
     if planar:
@@ -297,7 +312,7 @@ def fused_phase1_zigzag_blocks(
         planes = tuple(
             jnp.pad(p, ((0, ph - height), (0, pw - width))) for p in planes
         )
-    fn = fused_phase1 if _use_pallas_pack() else fused_phase1_reference
+    fn = kernel_fn if _use_pallas_pack() else oracle_fn
     y_c, cb_c, cr_c = fn(
         *planes, maxval, luma_q, chroma_q,
         preset.horizontal_rate, preset.vertical_rate,
@@ -330,10 +345,10 @@ def encode_blocks_from_planes(
     same-geometry images; DC chains reset per image.
     """
     mode = _plane_mode()
-    if mode == "fused1":
+    if mode in ("fused1", "fused2"):
         # callers land here only when the fused phase-1 kernel does not
-        # apply (non-P420 preset, or the sharded/batch tail): use the
-        # default exact plane path, as documented in _plane_mode
+        # apply (non-default DCT variant, or the sharded/batch tail): use
+        # the default exact plane path, as documented in _plane_mode
         mode = "plane"
     if variant is DCTVariant.ARAI and mode in (
         "plane", "plane_mm", "plane2", "pallas", "mxu"
