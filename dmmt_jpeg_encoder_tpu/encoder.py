@@ -485,11 +485,48 @@ def _encode_batch_sharded(
         # images through the non-pipelined path sequentially.
         return [encode_array(px, maxval, config) for px in images]
 
-    from .parallel.sharding import finish_sharded_encode, start_sharded_encode
+    from .parallel.sharding import (
+        _use_sharded_onedispatch,
+        finish_sharded_encode,
+        start_sharded_encode,
+    )
 
     luma_q, chroma_q = quantization_table_pair(
         config.quantization_preset, config.quality
     )
+
+    # Same-geometry batches ride the SHARDED SLAB program (images
+    # row-stacked per shard — the per-shard fixed slice is paid once per
+    # group; parallel/projection.py's >=80%-at-n=4 lever).
+    import os as _os
+
+    same_shape = len({px.shape for px in images}) == 1
+    if (
+        same_shape
+        and len(images) > 1
+        and _os.environ.get("DMMT_SLAB", "1") != "0"
+        and _use_sharded_onedispatch(
+            config, int(images[0].shape[0]), int(images[0].shape[1])
+        )
+    ):
+        from .onedispatch import _total_blocks
+
+        blocks = _total_blocks(
+            int(images[0].shape[0]), int(images[0].shape[1]),
+            config.chroma_subsampling,
+        )
+        cap = int(_os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
+        b_env = _os.environ.get("DMMT_SLAB_B", "auto")
+        b_max = cap * config.num_shards // max(blocks, 1)
+        slab_b = min(
+            len(images),
+            b_max if b_env == "auto" else min(int(b_env), b_max),
+        )
+        if slab_b >= 2:
+            return _encode_batch_sharded_slab(
+                images, maxval, config, slab_b, luma_q, chroma_q
+            )
+
     states: list[tuple | None] = [None] * len(images)
     out: list[bytes | None] = [None] * len(images)
 
@@ -517,6 +554,75 @@ def _encode_batch_sharded(
         if i > 0:
             finish(i - 1)
     finish(len(images) - 1)
+    return out
+
+
+def _encode_batch_sharded_slab(
+    images: list[np.ndarray],
+    maxval: int,
+    config: EncoderConfig,
+    slab_b: int,
+    luma_q: np.ndarray,
+    chroma_q: np.ndarray,
+) -> list[bytes]:
+    """Sharding x slab batching: groups of slab_b same-geometry images run
+    as ONE sharded slab program each (parallel/sharding.py
+    start_sharded_encode_slab), two-deep pipelined. Bytes equal per-image
+    encodes (tested)."""
+    from .parallel.sharding import (
+        finish_sharded_encode,
+        finish_sharded_encode_slab,
+        start_sharded_encode,
+        start_sharded_encode_slab,
+    )
+
+    h, w = int(images[0].shape[0]), int(images[0].shape[1])
+    groups = [images[i : i + slab_b] for i in range(0, len(images), slab_b)]
+    out: list[bytes] = []
+    pending: list[tuple] = []
+
+    def assemble(px, scan, tables) -> bytes:
+        return assemble_jpeg(
+            width=int(px.shape[1]),
+            height=int(px.shape[0]),
+            bits_per_channel=config.bits_per_channel,
+            preset=config.chroma_subsampling,
+            luma_quant=luma_q,
+            chroma_quant=chroma_q,
+            luma_dc=tables.luma_dc,
+            luma_ac=tables.luma_ac,
+            chroma_dc=tables.chroma_dc,
+            chroma_ac=tables.chroma_ac,
+            scan_bytes=scan,
+        )
+
+    def drain() -> None:
+        kind, state, part = pending.pop(0)
+        if kind == "slab":
+            for px, (scan, tables) in zip(
+                part, finish_sharded_encode_slab(state, config)
+            ):
+                out.append(assemble(px, scan, tables))
+        else:
+            scan, tables = finish_sharded_encode(state, config)
+            out.append(assemble(part[0], scan, tables))
+
+    for part in groups:
+        if len(part) == 1:
+            st = start_sharded_encode(
+                _narrow_pixels(part[0], maxval), maxval, config
+            )
+            pending.append(("single", st, part))
+        else:
+            stacked = np.stack(
+                [_narrow_pixels(px, maxval) for px in part]
+            )
+            st = start_sharded_encode_slab(stacked, maxval, config)
+            pending.append(("slab", st, part))
+        if len(pending) > 1:
+            drain()
+    while pending:
+        drain()
     return out
 
 

@@ -188,12 +188,13 @@ def _build_onedispatch_program(
 
 
 def _tables_to_pack(
-    t4, luma_zz, cb_zz, cr_zz, n_chroma, lpm, stride, n_words
+    t4, luma_zz, cb_zz, cr_zz, n_chroma, lpm, stride, n_words, valid=None
 ):
     """Shared one-dispatch tail: four built code tables -> sweep tables ->
     interleaved scan -> fused pack. Returns (words, total_bits, spec_syms,
-    spec_lens, spec_ns). Used once per program by the single-image builder
-    and once per IMAGE by the slab builder."""
+    spec_lens, spec_ns). Used once per program by the single-image builder,
+    once per IMAGE by the slab builder, and (with a validity mask over
+    alignment-padding MCUs) per image by the sharded slab program."""
     from .bitstream.device_pack import _interleave_scan
     from .bitstream.fused_pack import fused_pack_words
     from .huffman.device_tables import device_sweep_tables
@@ -211,6 +212,7 @@ def _tables_to_pack(
         (dc_s, dc_la, dc_ca, ac_s, ac_la, ac_ca, misc),
         n_words,
         k_dyn=jnp.stack([k_dc, k_ac]),
+        valid=valid,
     )
     spec_syms = jnp.stack(
         [t["sym_by_leaf"] for t in (t_ldc, t_lac, t_cdc, t_cac)]

@@ -87,6 +87,120 @@ def _dc_handoff(zz: jnp.ndarray, num_shards: int) -> jnp.ndarray:
     return zz.at[:, 0].set(dc_dpcm(zz[:, 0], first_predictor=prev[0]))
 
 
+def _dc_handoff_slab(
+    zz: jnp.ndarray, num_shards: int, n_images: int
+) -> jnp.ndarray:
+    """Per-image cross-shard DPCM for a SLAB shard: the shard's block axis
+    is n_images contiguous per-image segments (each the image's MCU-row
+    slice on this shard). Every image's chain is seeded by the SAME
+    image's last raw DC on the previous shard (0 on shard 0) — one
+    ppermute of an [n_images] vector replaces n_images scalar hops."""
+    if n_images == 1:
+        return _dc_handoff(zz, num_shards)
+    per = zz.shape[0] // n_images
+    dc = zz[:, 0].reshape(n_images, per)
+    prev = jax.lax.ppermute(
+        dc[:, -1], AXIS, [(i, i + 1) for i in range(num_shards - 1)]
+    )  # [n_images]; shard 0 receives zeros
+    deltas = jax.vmap(lambda col, p: dc_dpcm(col, first_predictor=p))(
+        dc, prev
+    )
+    return zz.at[:, 0].set(deltas.reshape(-1))
+
+
+def _make_phase1_slab(
+    n_images: int,
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    num_shards: int,
+):
+    """Per-shard phase-1 body for the SHARDED SLAB program: the shard
+    holds [n_images, shard_h, pw, 3] (each image's MCU-row slice),
+    row-stacks them into one tall slab, and runs one phase 1 — so the
+    per-program fixed slice is paid once per n_images images per shard
+    (the fixed-cost amortization the PERF.md scaling model calls for).
+
+    Per-image independence: DC chains are per-image (cross-shard hand-off
+    per image via one vector ppermute), histograms per image (psum'd per
+    image over shards). Image boundaries never straddle MCU quads: shard_h
+    is a multiple of the MCU height."""
+    ph, pw, rows_per_shard, valid_mcu_rows = _shard_geometry(
+        height, width, preset, num_shards
+    )
+    shard_h = rows_per_shard * preset.mcu_height
+    tall_sh = n_images * shard_h
+    entangle = entangle_permutation(pw // 8, tall_sh // 8, preset)
+    luma_blocks_per_mcu_row = (pw // 8) * preset.vertical_rate
+    chroma_w = pw // preset.horizontal_rate
+    chroma_blocks_per_mcu_row = chroma_w // 8
+    nl_si = (shard_h // 8) * (pw // 8)
+    nc_si = (shard_h // preset.vertical_rate // 8) * (chroma_w // 8)
+
+    def phase1(rgb_stack, maxval, luma_q, chroma_q):
+        import os
+
+        s = jax.lax.axis_index(AXIS)
+        valid_rows = jnp.clip(
+            valid_mcu_rows - s * rows_per_shard, 0, rows_per_shard
+        )
+
+        tall = rgb_stack.reshape(tall_sh, pw, 3)
+        rgb = tall.astype(jnp.float32) / maxval
+        y, cb, cr = rgb_to_ycbcr(rgb)
+        if entangle is not None:
+            luma_blocks = entangled_blockize_p420(y)
+        else:
+            luma_blocks = blockize(y)
+        cb_blocks = blockize(subsample(cb, preset))
+        cr_blocks = blockize(subsample(cr, preset))
+
+        luma_zz = quantize_zigzag(dct2d(luma_blocks, variant), luma_q)
+        cb_zz = quantize_zigzag(dct2d(cb_blocks, variant), chroma_q)
+        cr_zz = quantize_zigzag(dct2d(cr_blocks, variant), chroma_q)
+
+        luma_zz = _dc_handoff_slab(luma_zz, num_shards, n_images)
+        cb_zz = _dc_handoff_slab(cb_zz, num_shards, n_images)
+        cr_zz = _dc_handoff_slab(cr_zz, num_shards, n_images)
+
+        n_luma_valid = valid_rows * luma_blocks_per_mcu_row
+        n_chroma_valid = valid_rows * chroma_blocks_per_mcu_row
+        if os.environ.get("DMMT_HIST", "fused") == "fused":
+            from ..utils.capability import pallas_capable
+
+            use_fused_hist = pallas_capable()
+        else:
+            use_fused_hist = False
+        hists = []
+        for i in range(n_images):
+            lz = luma_zz[i * nl_si : (i + 1) * nl_si]
+            cbz = cb_zz[i * nc_si : (i + 1) * nc_si]
+            crz = cr_zz[i * nc_si : (i + 1) * nc_si]
+            if use_fused_hist:
+                from ..ops.pallas_block_hist import fused_block_histograms
+
+                l_dc, l_ac = fused_block_histograms(lz, n_luma_valid)
+                cb_dc, cb_ac = fused_block_histograms(cbz, n_chroma_valid)
+                cr_dc, cr_ac = fused_block_histograms(crz, n_chroma_valid)
+                c_dc, c_ac = cb_dc + cr_dc, cb_ac + cr_ac
+            else:
+                luma_mask = jnp.arange(nl_si) < n_luma_valid
+                chroma_mask = jnp.arange(nc_si) < n_chroma_valid
+                l_dc, l_ac = symbol_histograms(lz, luma_mask)
+                c_dc, c_ac = symbol_histograms(
+                    jnp.concatenate([cbz, crz], axis=0),
+                    jnp.concatenate([chroma_mask, chroma_mask], axis=0),
+                )
+            hists.append((l_dc, l_ac, c_dc, c_ac))
+        # ONE psum for all images' histograms (4 * n_images small arrays)
+        hists = jax.lax.psum(tuple(hists), AXIS)
+        return (luma_zz, cb_zz, cr_zz), hists, valid_rows
+
+    geom = (ph, pw, rows_per_shard, valid_mcu_rows)
+    return phase1, geom
+
+
 def _make_phase1(
     height: int,
     width: int,
@@ -331,6 +445,201 @@ def _compiled_sharded_onedispatch(
         check_vma=False,
     )
     return jax.jit(sharded), mesh, geom
+
+
+@mode_keyed_cache(maxsize=8)
+def _compiled_sharded_onedispatch_slab(
+    n_images: int,
+    height: int,
+    width: int,
+    preset: ChromaSubsamplingPreset,
+    variant: DCTVariant,
+    num_shards: int,
+):
+    """SHARDED SLAB: n_images same-geometry encodes, each image's MCU rows
+    split over the mesh AND the images row-stacked per shard into ONE
+    program (VERDICT r3 #5) — the per-shard fixed slice (table-build
+    sorts, pack-kernel sweeps, dispatch) is paid once per n_images images,
+    which is what pushes projected multi-chip efficiency past 80% beyond
+    n=2 (parallel/projection.py). Per-shard: one tall phase 1, ONE batched
+    sort stream for all 4*n_images Huffman tables, n_images fused packs.
+    Output bytes equal per-image single-chip encodes, bit for bit
+    (alignment rows masked; DC chains seeded per image across shards)."""
+    from ..bitstream.fused_pack import fused_pack_capacity
+    from ..huffman.device_tables import (
+        device_code_tables_batched,
+        pad_dc_histogram,
+    )
+    from ..onedispatch import _tables_to_pack
+
+    phase1, geom = _make_phase1_slab(
+        n_images, height, width, preset, variant, num_shards
+    )
+    ph, pw, rows_per_shard, valid_mcu_rows = geom
+    mesh = build_mesh(num_shards)
+
+    shard_h = rows_per_shard * preset.mcu_height
+    nl_s = (shard_h // 8) * (pw // 8)
+    nc_s = (shard_h // preset.vertical_rate // 8) * (
+        pw // preset.horizontal_rate // 8
+    )
+    lpm = preset.luma_blocks_per_mcu
+    stride = lpm + 2
+    ns = nl_s + 2 * nc_s
+    mcus_per_row = pw // preset.mcu_width
+    words_cap = fused_pack_capacity(ns * 64 + 2)  # per image, worst case
+
+    def per_shard(rgb_stack, maxval, luma_q, chroma_q):
+        (luma_zz, cb_zz, cr_zz), hists, valid_rows = phase1(
+            rgb_stack, maxval, luma_q, chroma_q
+        )
+        stack = []
+        for l_dc, l_ac, c_dc, c_ac in hists:
+            stack += [
+                pad_dc_histogram(l_dc),
+                l_ac.astype(jnp.int32),
+                pad_dc_histogram(c_dc),
+                c_ac.astype(jnp.int32),
+            ]
+        t_all = device_code_tables_batched(jnp.stack(stack))
+
+        valid_blocks = valid_rows * mcus_per_row * stride
+        bmask = jnp.arange(ns, dtype=jnp.int32) < valid_blocks
+        words_l, bits_l, syms_l, lens_l, ns_l = [], [], [], [], []
+        for i in range(n_images):
+            t4 = tuple(
+                {k: v[4 * i + j] for k, v in t_all.items()}
+                for j in range(4)
+            )
+            lz = luma_zz[i * nl_s : (i + 1) * nl_s]
+            cbz = cb_zz[i * nc_s : (i + 1) * nc_s]
+            crz = cr_zz[i * nc_s : (i + 1) * nc_s]
+            w, tb, ss_, sl_, sn_ = _tables_to_pack(
+                t4, lz, cbz, crz, nc_s, lpm, stride, words_cap, valid=bmask
+            )
+            words_l.append(w)
+            bits_l.append(tb)
+            syms_l.append(ss_)
+            lens_l.append(sl_)
+            ns_l.append(sn_)
+        flat_hists = tuple(h for quad in hists for h in quad)
+        return (
+            jnp.stack(words_l)[None],   # [1, B, cap] -> [n, B, cap]
+            jnp.stack(bits_l)[None],    # [1, B]      -> [n, B]
+            jnp.stack(syms_l),          # [B, 4, 256] replicated
+            jnp.stack(lens_l),
+            jnp.stack(ns_l),            # [B, 4]
+        ) + flat_hists
+
+    sharded = shard_map(
+        per_shard,
+        mesh=mesh,
+        in_specs=(P(None, AXIS, None, None), P(), P(None), P(None)),
+        out_specs=(
+            P(AXIS, None, None),   # per-shard per-image packed words
+            P(AXIS, None),         # per-shard per-image bit counts
+            P(), P(), P(),         # replicated per-image table specs
+        ) + (P(),) * (4 * n_images),  # psum'd per-image histograms
+        # pallas_call outputs inside shard_map carry no varying-mesh-axes
+        # metadata; the per-shard packer is manifestly per-shard data
+        check_vma=False,
+    )
+    return jax.jit(sharded), mesh, geom
+
+
+def start_sharded_encode_slab(
+    pixels_stack,
+    maxval: int,
+    config: EncoderConfig,
+) -> tuple:
+    """Dispatch n_images same-geometry images as ONE sharded slab program
+    (asynchronous). pixels_stack: [B, H, W, 3], host or device. Finish
+    with finish_sharded_encode_slab -> list of (scan bytes, tables),
+    byte-identical to per-image single-chip encodes."""
+    from ..onedispatch import _total_blocks as _total_blocks_of
+    from ..tables import quantization_table_pair as qtp
+
+    import os
+
+    b = int(pixels_stack.shape[0])
+    height, width = int(pixels_stack.shape[1]), int(pixels_stack.shape[2])
+    preset = config.chroma_subsampling
+    n = config.num_shards
+    # The compile-size cap applies to the PER-SHARD program (the jit body
+    # sees 1/n of each image's blocks, times b images).
+    per_shard_blocks = b * _total_blocks_of(height, width, preset) // n
+    limit = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
+    if per_shard_blocks > limit:
+        raise ValueError(
+            f"start_sharded_encode_slab: {per_shard_blocks} blocks/shard "
+            f"exceeds the {limit}-block single-program compile limit; "
+            f"split the group (or raise DMMT_SLAB_MAX_BLOCKS)"
+        )
+    luma_q, chroma_q = qtp(config.quantization_preset, config.quality)
+    fn, mesh, geom = _compiled_sharded_onedispatch_slab(
+        b, height, width, preset, config.dct_variant, n
+    )
+    ph, pw = geom[0], geom[1]
+    arr = np.asarray(pixels_stack)
+    if (ph, pw) != (height, width):
+        padded = np.zeros((b, ph, pw, 3), dtype=arr.dtype)
+        padded[:, :height, :width] = arr
+        arr = padded
+    outputs = fn(
+        jnp.asarray(arr),
+        jnp.float32(maxval),
+        jnp.asarray(luma_q),
+        jnp.asarray(chroma_q),
+    )
+    return ("slab", outputs, geom, (height, width), b)
+
+
+def finish_sharded_encode_slab(
+    state: tuple, config: EncoderConfig
+) -> list[tuple[bytes, "object"]]:
+    """Synchronize a start_sharded_encode_slab dispatch: fetch per-shard
+    per-image bit counts + table specs + word streams, then bit-merge each
+    image's shard segments. Returns [(stuffed scan bytes, HuffmanTables)]
+    per image."""
+    from ..bitstream.device_pack import _check_bits_enabled, exact_scan_bits
+    from ..huffman.canonical import flat_code_arrays
+    from ..onedispatch import tables_from_spec
+
+    _, outputs, geom, (height, width), b = state
+    n = config.num_shards
+    words_d, bits_d, syms_d, lens_d, ns_d = outputs[:5]
+    bits, syms, lens, ns_arr = jax.device_get(
+        (bits_d, syms_d, lens_d, ns_d)
+    )  # bits [n, B]
+    needed = (bits.astype(np.int64) + 31) // 32  # [n, B]
+    max_needed = int(needed.max()) if needed.size else 0
+    host_words = jax.device_get(words_d[:, :, :max_needed])  # [n, B, w]
+    results = []
+    for i in range(b):
+        tables = tables_from_spec(syms[i], lens[i], ns_arr[i])
+        if _check_bits_enabled():
+            ghists = jax.device_get(outputs[5 + 4 * i : 5 + 4 * (i + 1)])
+            predicted = exact_scan_bits(
+                ghists,
+                flat_code_arrays(tables.luma_dc),
+                flat_code_arrays(tables.luma_ac),
+                flat_code_arrays(tables.chroma_dc),
+                flat_code_arrays(tables.chroma_ac),
+            )
+            if predicted != int(bits[:, i].sum()):
+                raise AssertionError(
+                    f"sharded slab image {i} packed {int(bits[:, i].sum())} "
+                    f"bits but histograms x device tables predict {predicted}"
+                )
+        chunks = [
+            (
+                host_words[s, i, : needed[s, i]].view(np.uint8),
+                int(bits[s, i]),
+            )
+            for s in range(n)
+        ]
+        results.append((_merge_and_stuff(chunks), tables))
+    return results
 
 
 def _use_sharded_onedispatch(config: EncoderConfig, height: int, width: int) -> bool:
