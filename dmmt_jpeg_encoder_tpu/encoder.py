@@ -269,14 +269,20 @@ def encode_batch(
         )
     ):
         from .onedispatch import _total_blocks
+        from .ops.geometry import padded_size
 
-        blocks = _total_blocks(
-            int(images[0].shape[0]), int(images[0].shape[1]),
-            config.chroma_subsampling,
-        )
+        h0, w0 = int(images[0].shape[0]), int(images[0].shape[1])
+        blocks = _total_blocks(h0, w0, config.chroma_subsampling)
+        ph0, _ = padded_size(h0, w0, config.chroma_subsampling)
         cap = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
+        # Measured program-time-vs-rows curve (PERF.md round 4): the
+        # per-program fixed slice only amortizes below ~2160 total rows —
+        # T(4320) == 2*T(2160) on-chip, so stacking 4K images gains
+        # nothing and pays a bigger host stack + upload. Cap total slab
+        # rows accordingly; 4K+ batches ride the pipelined per-image path.
+        rows_cap = int(os.environ.get("DMMT_SLAB_MAX_ROWS", "2176"))
         b_env = os.environ.get("DMMT_SLAB_B", "auto")
-        b_max = cap // max(blocks, 1)
+        b_max = min(cap // max(blocks, 1), rows_cap // max(ph0, 1))
         slab_b = min(
             len(images),
             b_max if b_env == "auto" else min(int(b_env), b_max),
@@ -336,14 +342,21 @@ def encode_batch(
         )
         results[i] = None  # release device blocks
 
-    # Double-buffered uploads: image i+1's host->device transfer is issued
-    # (asynchronously) before image i's host tail runs, so the link and the
-    # host work overlap instead of serializing.
+    # Pipelined uploads: the next DMMT_UPLOAD_DEPTH images' host->device
+    # transfers are issued (asynchronously) before image i's host tail
+    # runs, so the link and the host work overlap instead of serializing.
+    # Depth default 3: the tunnel link measured ~57 MB/s single-stream but
+    # ~96 MB/s with 4 transfers in flight (ab_round4 job 202), so deep
+    # look-ahead is ~1.7x e2e batch throughput on upload-bound images.
+    depth = max(1, int(os.environ.get("DMMT_UPLOAD_DEPTH", "3")))
     dev: list[object | None] = [None] * len(images)
-    dev[0] = jax.device_put(_narrow_pixels(images[0], maxval))
+    for j in range(min(depth, len(images))):
+        dev[j] = jax.device_put(_narrow_pixels(images[j], maxval))
     for i in range(len(images)):
-        if i + 1 < len(images):
-            dev[i + 1] = jax.device_put(_narrow_pixels(images[i + 1], maxval))
+        if i + depth < len(images):
+            dev[i + depth] = jax.device_put(
+                _narrow_pixels(images[i + depth], maxval)
+            )
         h, w = int(images[i].shape[0]), int(images[i].shape[1])
         if backend == "device" and _use_one_dispatch(config, h, w):
             from .onedispatch import prefetch_one_dispatch, start_one_dispatch
@@ -510,14 +523,21 @@ def _encode_batch_sharded(
         )
     ):
         from .onedispatch import _total_blocks
+        from .ops.geometry import padded_size
 
-        blocks = _total_blocks(
-            int(images[0].shape[0]), int(images[0].shape[1]),
-            config.chroma_subsampling,
-        )
+        h0, w0 = int(images[0].shape[0]), int(images[0].shape[1])
+        blocks = _total_blocks(h0, w0, config.chroma_subsampling)
+        ph0, _ = padded_size(h0, w0, config.chroma_subsampling)
         cap = int(_os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
+        # Per-SHARD rows cap (measured T(rows) curve, PERF.md round 4):
+        # each shard row-stacks slab_b * ph/n rows; amortization stops
+        # paying past ~2160 rows per shard program.
+        rows_cap = int(_os.environ.get("DMMT_SLAB_MAX_ROWS", "2176"))
         b_env = _os.environ.get("DMMT_SLAB_B", "auto")
-        b_max = cap * config.num_shards // max(blocks, 1)
+        b_max = min(
+            cap * config.num_shards // max(blocks, 1),
+            rows_cap * config.num_shards // max(ph0, 1),
+        )
         slab_b = min(
             len(images),
             b_max if b_env == "auto" else min(int(b_env), b_max),
