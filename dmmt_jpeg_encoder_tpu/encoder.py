@@ -345,10 +345,12 @@ def encode_batch(
     # Pipelined uploads: the next DMMT_UPLOAD_DEPTH images' host->device
     # transfers are issued (asynchronously) before image i's host tail
     # runs, so the link and the host work overlap instead of serializing.
-    # Depth default 3: the tunnel link measured ~57 MB/s single-stream but
-    # ~96 MB/s with 4 transfers in flight (ab_round4 job 202), so deep
-    # look-ahead is ~1.7x e2e batch throughput on upload-bound images.
-    depth = max(1, int(os.environ.get("DMMT_UPLOAD_DEPTH", "3")))
+    # Depth default 2 (double buffering): the ab_round4c sweep found
+    # deeper look-ahead never wins on this tunnel — queued uploads
+    # head-of-line-block the per-image result fetches on the serialized
+    # link, cancelling the concurrent-transfer gain job 202 measured in
+    # isolation — and the link's ~2x throughput swings dwarf the knob.
+    depth = max(1, int(os.environ.get("DMMT_UPLOAD_DEPTH", "2")))
     dev: list[object | None] = [None] * len(images)
     for j in range(min(depth, len(images))):
         dev[j] = jax.device_put(_narrow_pixels(images[j], maxval))

@@ -157,3 +157,59 @@ def test_encode_batch_slab_off_flag(rng, monkeypatch):
     batched = encode_batch(imgs, 255, cfg)
     singles = [encode_array(px, 255, cfg) for px in imgs]
     assert batched == singles
+
+
+def test_encode_batch_rows_cap_skips_slab(rng, monkeypatch):
+    """Round-4 measured gate: the slab only wins below ~2160 total rows
+    (T(4320) == 2*T(2160) on-chip, PERF.md round 4), so tall images must
+    ride the pipelined per-image path even when the block cap allows
+    stacking."""
+    import dmmt_jpeg_encoder_tpu.onedispatch as od
+
+    def boom(*a, **k):  # pragma: no cover - must not be called
+        raise AssertionError("slab dispatched past the rows cap")
+
+    monkeypatch.setattr(od, "start_one_dispatch_slab", boom)
+    # padded height 64 > rows cap of 100 for B=2 -> slab must be skipped
+    monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "100")
+    imgs = [rng.integers(0, 256, (64, 48, 3), dtype=np.uint8) for _ in range(2)]
+    cfg = EncoderConfig(scan_backend="device")
+    batched = encode_batch(imgs, 255, cfg)
+    singles = [encode_array(px, 255, cfg) for px in imgs]
+    assert batched == singles
+
+
+def test_encode_batch_rows_cap_bounds_group_size(rng, monkeypatch):
+    """Rows cap picks B (not just on/off): 4 x 32-row images with a
+    64-row cap must run as two B=2 slab groups."""
+    calls = {"n": 0, "b": set()}
+    real = start_one_dispatch_slab
+
+    def counting(stack, *a, **k):
+        calls["n"] += 1
+        calls["b"].add(int(stack.shape[0]))
+        return real(stack, *a, **k)
+
+    monkeypatch.setattr(
+        "dmmt_jpeg_encoder_tpu.onedispatch.start_one_dispatch_slab",
+        counting,
+    )
+    monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "64")
+    imgs = [rng.integers(0, 256, (32, 48, 3), dtype=np.uint8) for _ in range(4)]
+    cfg = EncoderConfig(scan_backend="device")
+    batched = encode_batch(imgs, 255, cfg)
+    assert calls["n"] == 2 and calls["b"] == {2}
+    singles = [encode_array(px, 255, cfg) for px in imgs]
+    assert batched == singles
+
+
+def test_encode_batch_upload_depth_paths(rng, monkeypatch):
+    """The pipelined per-image path is byte-stable across upload
+    look-ahead depths (DMMT_UPLOAD_DEPTH edge values)."""
+    monkeypatch.setenv("DMMT_SLAB", "0")
+    imgs = [rng.integers(0, 256, (32, 48, 3), dtype=np.uint8) for _ in range(5)]
+    cfg = EncoderConfig(scan_backend="device")
+    singles = [encode_array(px, 255, cfg) for px in imgs]
+    for depth in ("1", "4", "16"):
+        monkeypatch.setenv("DMMT_UPLOAD_DEPTH", depth)
+        assert encode_batch(imgs, 255, cfg) == singles, depth
