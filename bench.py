@@ -319,7 +319,10 @@ def child_main(args) -> int:
                 # minutes earlier; sessions DRIFT monotonically slower
                 # (PERF.md measurement discipline), so the best valid
                 # pipelined measurement of the winning config is the
-                # min of both.
+                # min of both. BOTH stage measurements are recorded in
+                # the payload so the headline stays auditable (a sweep
+                # glitch can't silently become the floor).
+                floor_stage_ms = fl_best * 1e3
                 if sweep_ms is not None:
                     fl_best = min(fl_best, sweep_ms / 1e3)
                 print(
@@ -331,6 +334,10 @@ def child_main(args) -> int:
                 _emit(
                     "4k_device_program_throughput", mpix / fl_best,
                     p1=p1, hist=hist, images_per_program=group,
+                    floor_stage_ms=round(floor_stage_ms, 2),
+                    sweep_stage_ms=(
+                        round(sweep_ms, 2) if sweep_ms is not None else None
+                    ),
                 )
                 break
             except Exception:

@@ -196,11 +196,12 @@ def _sweep_lookup(sym, ischroma, syms_ref, la_ref, ca_ref, k):
     """entry[sym] via a K-iteration sweep of SMEM scalars (no gather).
     ischroma: int32 0/1 (Mosaic can't produce bool vectors from selects).
 
-    A two-tier variant (frequency-sorted tables, tail sweep only for
-    tiles with unresolved lanes) measured NO faster (35.0 vs 34.6 ms/4K
-    program): the per-tile cross-lane reduction + conditional tail costs
-    what it saves. The dynamic present-count bound k already keeps the
-    sweep short."""
+    Round-2 note (kernel then ~35 ms): a two-tier variant measured no
+    faster. Round 4's ablation attribution changed that calculus — the
+    sweep is now the kernel's superlinear term at slab/8K scale (k grows
+    with image area while tiles double; k4-clamp recovered 1.56 ms at
+    4320 rows) — so the two-tier form returned as the opt-in
+    _sweep_lookup_2tier below (DMMT_SWEEP=2tier)."""
     import jax.lax as lax
 
     def body(i, acc):
@@ -209,6 +210,30 @@ def _sweep_lookup(sym, ischroma, syms_ref, la_ref, ca_ref, k):
         return acc | jnp.where(sym == s, e, 0)
 
     return lax.fori_loop(0, k, body, jnp.zeros(sym.shape, _I32))
+
+
+def _sweep_lookup_2tier(sym, ischroma, syms_ref, la_ref, ca_ref, k, k_head):
+    """Two-tier sweep: tables arrive HOT-FIRST (ascending code length —
+    huffman/device_tables.device_sweep_tables_freq), so the first k_head
+    entries resolve nearly every live lane of a typical photographic
+    tile. The tail's fori_loop bound is data-dependent: it collapses to
+    zero iterations unless some live lane is still unresolved after the
+    head (sym >= 0 with no entry ORed in — present-table entries are
+    nonzero since len >= 1). Result is bit-identical to the full sweep
+    for any table order (each lane matches at most one entry)."""
+    import jax.lax as lax
+
+    def body(i, acc):
+        s = syms_ref[0, i]
+        e = jnp.where(ischroma > 0, ca_ref[0, i], la_ref[0, i])
+        return acc | jnp.where(sym == s, e, 0)
+
+    head_k = jnp.minimum(jnp.asarray(k), k_head)
+    acc = lax.fori_loop(0, head_k, body, jnp.zeros(sym.shape, _I32))
+    unresolved = ((sym >= 0) & (acc == 0)).astype(_I32)
+    need_tail = jnp.max(unresolved) > 0
+    tail_k = jnp.where(need_tail, jnp.asarray(k), head_k)
+    return lax.fori_loop(head_k, tail_k, body, acc)
 
 
 def _pattern(v, cat):
@@ -247,7 +272,7 @@ def _var_roll_lanes(x, amount, width, max_amount):
 
 
 def _emit_both(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
-               dc_ents, zrl_ents, eob_ents):
+               dc_ents, zrl_ents, eob_ents, k_head_2t=0):
     """Emission values/lens/offsets for BOTH 64-lane halves of the packed
     row in one pass.
 
@@ -277,9 +302,16 @@ def _emit_both(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
     run = pos - prev_nz - 1
     zrl = jnp.where(nz, run >> 4, 0)
     sym = ((run & 15) << 4) | cat
-    ac_ent = _sweep_lookup(
-        jnp.where(nz, sym, -2), ischroma, acsym_ref, acl_ref, acc_ref, k_ac
-    )
+    if k_head_2t > 0:
+        ac_ent = _sweep_lookup_2tier(
+            jnp.where(nz, sym, -2), ischroma, acsym_ref, acl_ref, acc_ref,
+            k_ac, k_head_2t,
+        )
+    else:
+        ac_ent = _sweep_lookup(
+            jnp.where(nz, sym, -2), ischroma, acsym_ref, acl_ref, acc_ref,
+            k_ac,
+        )
     accode = ac_ent >> 8
     aclen = ac_ent & 0xFF
     e_ac_val = jnp.where(nz, (accode << cat) | _pattern(v, cat), 0)
@@ -617,12 +649,32 @@ def _merge_into_staging(staging, frag, q_rel, t_rows):
 
 
 def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
-                 dyn_k=False, has_valid=False):
+                 dyn_k=False, has_valid=False, slab=None):
     """Builds the kernel fn; static config baked in (block count for the
     valid mask, scan stride for the in-kernel luma/chroma pattern). With
     dyn_k, the sweep loop bounds come from an SMEM input at run time (the
     one-dispatch path: tables are built on device, so the present-symbol
-    counts are data) while k_dc/k_ac remain the static array capacities."""
+    counts are data) while k_dc/k_ac remain the static array capacities.
+
+    slab=(tiles_per_image, region_rows): SLAB mode — the grid is
+    (B, tiles_per_image) and the kernel packs B independent same-geometry
+    streams in ONE dispatch. Image b's stream lands in its own static
+    output region (rows [b*region_rows, (b+1)*region_rows)); the bit/row
+    state is LOCAL to each image (program_id(1) == 0 resets it, and the
+    carry window is only loaded within an image), so each region's words
+    are bit-identical to a standalone fused_pack_words run. Per-image
+    sweep tables/k_dyn arrive via per-image SMEM block windows (the
+    BlockSpec index maps select image b's row), so the kernel body is
+    unchanged."""
+    # DMMT_SWEEP=2tier: head-only AC sweep with data-dependent tail
+    # (tables must arrive hot-first — the one-dispatch builders switch to
+    # device_sweep_tables_freq under the same knob). Read at BUILD time;
+    # programs are cached under trace_mode_key so toggles retrace.
+    k_head_2t = (
+        int(os.environ.get("DMMT_SWEEP_HEAD", "32"))
+        if os.environ.get("DMMT_SWEEP", "1") == "2tier"
+        else 0
+    )
 
     def kernel(*refs):
         import jax.lax as lax
@@ -644,7 +696,14 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         if _ABLATE == "k4":
             k_ac_rt = jnp.minimum(jnp.asarray(k_ac_rt), 4)
 
-        t = pl.program_id(0)
+        if slab is None:
+            t = pl.program_id(0)
+            row0 = 0
+        else:
+            # grid (B, tiles_per_image), executed lexicographically (one
+            # TensorCore): all of image 0's tiles, then image 1's, ...
+            t = pl.program_id(1)
+            row0 = pl.program_id(0) * slab[1]
         trows = TILE_ROWS
 
         @pl.when(t == 0)
@@ -693,7 +752,7 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
             eob_ents.append(misc_pick(2, 3, ic))
         halves = _emit_both(
             v, cat, lane, ischroma, acsym, acl, acc, k_ac_rt,
-            dc_ents, zrl_ents, eob_ents,
+            dc_ents, zrl_ents, eob_ents, k_head_2t=k_head_2t,
         )
 
         bits_e = jnp.where(valid_e, halves[0][4], 0)
@@ -760,7 +819,9 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         # kernel); a double-buffered variant with a dynamic staging.at[par]
         # view showed no win and risks slow dynamic scratch addressing.
         dma = pltpu.make_async_copy(
-            staging, out_ref.at[pl.ds(base_row, R_LOC), :], sem
+            staging,
+            out_ref.at[pl.ds(pl.multiple_of(row0 + base_row, 8), R_LOC), :],
+            sem,
         )
         dma.start()
         dma.wait()
@@ -894,3 +955,119 @@ def fused_pack_words(
         interpret=interpret,
     )(*args)
     return words2d.reshape(-1), nbits[0, 0]
+
+
+def fused_pack_words_slab(
+    scans: jnp.ndarray,
+    stride: int,
+    luma_per_mcu: int,
+    sweep: tuple,
+    n_words: int,
+    k_dyn: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """B same-geometry scan streams -> B packed word streams in ONE
+    kernel dispatch (VERDICT r4 #1: the B separate fused_pack_words
+    invocations were the measured per-extra-image slab-program overhead —
+    each pays its own grid prologue, sweep-table SMEM staging, and
+    dispatch fixed cost).
+
+    scans: [B, N, 64] int zigzag blocks (DC already DPCM, per-image
+    independent chains). sweep: per-image-stacked sweep tables
+    (dc_syms [B, Kdc], dc_l, dc_c, ac_syms [B, Kac], ac_l, ac_c,
+    misc [B, 4]). k_dyn: i32 [B, 2] per-image (dc, ac) present counts.
+    n_words: PER-IMAGE output capacity (fused_pack_capacity of one
+    image). valid: optional [B, N] per-block mask.
+
+    Each image is padded to a whole number of grid tiles so no tile
+    straddles two images' tables; image b writes rows
+    [b*region_rows, ...) of the output, bit-identical to a standalone
+    pack. Returns (words u32 [B, n_words] in memory order,
+    total_bits i32 [B])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    interpret = bool(os.environ.get("DMMT_PALLAS_INTERPRET"))
+    dc_syms, dc_l, dc_c, ac_syms, ac_l, ac_c, misc = sweep
+    b = int(scans.shape[0])
+    n = int(scans.shape[1])
+    k_dc = int(dc_syms.shape[1])
+    k_ac = int(ac_syms.shape[1])
+
+    n2 = -(-n // 2)
+    n2_pad = -(-n2 // TILE_ROWS) * TILE_ROWS
+    tiles_per_image = n2_pad // TILE_ROWS
+    v = scans.astype(jnp.int16).reshape(b, -1)
+    pad_elems = n2_pad * 128 - n * 64
+    if pad_elems:
+        v = jnp.pad(v, ((0, 0), (0, pad_elems)))
+    v2 = v.reshape(b * n2_pad, 128)
+
+    args = [v2]
+    in_specs = [
+        pl.BlockSpec(
+            (TILE_ROWS, 128),
+            lambda ib, it: (ib * tiles_per_image + it, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if valid is not None:
+        vv = valid.astype(_I32)
+        if n2_pad * 2 - n:
+            vv = jnp.pad(vv, ((0, 0), (0, n2_pad * 2 - n)))
+        args.append(vv.reshape(b * n2_pad, 2))
+        in_specs.append(
+            pl.BlockSpec(
+                (TILE_ROWS, 2),
+                lambda ib, it: (ib * tiles_per_image + it, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    in_specs.append(
+        pl.BlockSpec((1, 2), lambda ib, it: (ib, 0), memory_space=pltpu.SMEM)
+    )
+    args.append(jnp.asarray(k_dyn).astype(_I32).reshape(b, 2))
+    for k in (k_dc, k_dc, k_dc, k_ac, k_ac, k_ac, 4):
+        in_specs.append(
+            pl.BlockSpec(
+                (1, k), lambda ib, it: (ib, 0), memory_space=pltpu.SMEM
+            )
+        )
+    args += [
+        jnp.asarray(x).reshape(b, -1)
+        for x in (dc_syms, dc_l, dc_c, ac_syms, ac_l, ac_c, misc)
+    ]
+
+    region_rows = n_words // ROW_WORDS
+    kernel = _make_kernel(
+        n, stride, luma_per_mcu, k_dc, k_ac, n2_pad, False,
+        dyn_k=True, has_valid=valid is not None,
+        slab=(tiles_per_image, region_rows),
+    )
+    words2d, nbits = pl.pallas_call(
+        kernel,
+        grid=(b, tiles_per_image),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 1), lambda ib, it: (0, ib), memory_space=pltpu.SMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * region_rows, ROW_WORDS), _U32),
+            jax.ShapeDtypeStruct((1, b), _I32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((R_LOC, ROW_WORDS), _U32),
+            pltpu.VMEM((16, ROW_WORDS), _U32),
+            pltpu.SMEM((4,), _I32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((TILE_ROWS, FRAG_WORDS), _U32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return words2d.reshape(b, region_rows * ROW_WORDS), nbits[0]

@@ -383,10 +383,16 @@ def encode_batch(
     return out
 
 
-# Reused pinned host stack buffer for the slab path: fresh multi-MB
-# allocations page-fault at ~7 ms/MB (PERF.md), so the group stack is
-# assembled into one long-lived buffer per (shape, dtype).
-_SLAB_STACK_BUF: dict[tuple, np.ndarray] = {}
+# Reused pinned host stack buffers for the slab path: fresh multi-MB
+# allocations page-fault at ~7 ms/MB (PERF.md), so group stacks are
+# assembled into long-lived buffers per (shape, dtype). TWO buffers
+# rotate per key: jax.device_put may still be reading group g's buffer
+# asynchronously when group g+1 is assembled (the two-deep pipeline
+# keeps exactly one prior group in flight), so rewriting a single
+# buffer would race the transfer on backends with truly async host
+# reads. Double buffering makes the pipeline correct regardless of the
+# backend's device_put copy timing (VERDICT r4 #5).
+_SLAB_STACK_BUF: dict[tuple, list] = {}
 
 
 def _encode_batch_slab(
@@ -419,13 +425,20 @@ def _encode_batch_slab(
     ph, pw = padded_size(h, w, config.chroma_subsampling)
 
     def stack_group(part: list[np.ndarray]):
-        """Assemble the group into the reused pre-padded stack buffer."""
+        """Assemble the group into a reused pre-padded stack buffer
+        (alternating between two per key — see _SLAB_STACK_BUF)."""
         first = _narrow_pixels(part[0], maxval)
         key = (len(part), ph, pw, first.dtype)
-        buf = _SLAB_STACK_BUF.get(key)
+        slot = _SLAB_STACK_BUF.get(key)
+        if slot is None:
+            slot = [0, None, None]
+            _SLAB_STACK_BUF[key] = slot
+        idx = 1 + (slot[0] & 1)
+        slot[0] += 1
+        buf = slot[idx]
         if buf is None:
             buf = np.zeros((len(part), ph, pw, 3), dtype=first.dtype)
-            _SLAB_STACK_BUF[key] = buf
+            slot[idx] = buf
         buf[0, :h, :w] = first
         for j, px in enumerate(part[1:], start=1):
             buf[j, :h, :w] = _narrow_pixels(px, maxval)

@@ -168,6 +168,44 @@ def device_sweep_tables(luma: dict, chroma: dict, k_cap: int):
     return syms, la, ca, k
 
 
+def device_sweep_tables_freq(luma: dict, chroma: dict, k_cap: int):
+    """device_sweep_tables, but HOT-FIRST: present symbols ordered by
+    ascending canonical code length (a shorter code means a more
+    frequent symbol, by construction of the per-image optimal tables),
+    instead of ascending symbol order. With DMMT_SWEEP=2tier the pack
+    kernel sweeps only the first K_HEAD entries and falls back to the
+    tail only for tiles with unresolved lanes — the table order cannot
+    change packed bits (each lane ORs at most one matching entry), only
+    sweep trip counts. Returns the same (syms, luma_ent, chroma_ent, k)
+    contract as device_sweep_tables."""
+    l_ent = (luma["codes_flat"] << 8) | luma["lens_flat"]
+    c_ent = (chroma["codes_flat"] << 8) | chroma["lens_flat"]
+    l_len = luma["lens_flat"]
+    c_len = chroma["lens_flat"]
+    present = (l_len > 0) | (c_len > 0)
+    # shortest available code across the two tables; absent -> huge key
+    eff = jnp.where(l_len > 0, l_len, 99)
+    eff = jnp.minimum(eff, jnp.where(c_len > 0, c_len, 99))
+    key = jnp.where(present, eff, 1 << 20)
+    syms = jnp.arange(NSYM, dtype=jnp.int32)
+    _, s_sym, s_l, s_c = jax.lax.sort(
+        (key, syms, l_ent, c_ent), dimension=0, is_stable=True, num_keys=1
+    )
+    k = jnp.sum(present.astype(jnp.int32))
+    live = jnp.arange(NSYM, dtype=jnp.int32) < k
+    out_s = jnp.where(live, s_sym, -1)
+    out_a = jnp.where(live, s_l, 0)
+    out_b = jnp.where(live, s_c, 0)
+    if k_cap <= NSYM:
+        out_s, out_a, out_b = out_s[:k_cap], out_a[:k_cap], out_b[:k_cap]
+    else:
+        pad = (0, k_cap - NSYM)
+        out_s = jnp.pad(out_s, pad, constant_values=-1)
+        out_a = jnp.pad(out_a, pad)
+        out_b = jnp.pad(out_b, pad)
+    return out_s, out_a, out_b, jnp.minimum(k, k_cap)
+
+
 def pad_dc_histogram(dc_hist: jnp.ndarray) -> jnp.ndarray:
     """16-bin DC histogram -> 256-bin (one shared table-build path)."""
     return jnp.concatenate(

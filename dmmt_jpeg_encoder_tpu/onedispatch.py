@@ -187,6 +187,22 @@ def _build_onedispatch_program(
     return program
 
 
+def _sweep_table_builder():
+    """Sweep-table layout for the fused pack kernel: symbol-ordered
+    (default) or hot-first by code length (DMMT_SWEEP=2tier — enables
+    the kernel's head-only sweep with data-dependent tail). Both layouts
+    produce bit-identical streams; they differ only in sweep trip
+    counts. Baked into traced programs via trace_mode_key."""
+    from .huffman.device_tables import (
+        device_sweep_tables,
+        device_sweep_tables_freq,
+    )
+
+    if os.environ.get("DMMT_SWEEP", "1") == "2tier":
+        return device_sweep_tables_freq
+    return device_sweep_tables
+
+
 def _tables_to_pack(
     t4, luma_zz, cb_zz, cr_zz, n_chroma, lpm, stride, n_words, valid=None
 ):
@@ -197,11 +213,11 @@ def _tables_to_pack(
     alignment-padding MCUs) per image by the sharded slab program."""
     from .bitstream.device_pack import _interleave_scan
     from .bitstream.fused_pack import fused_pack_words
-    from .huffman.device_tables import device_sweep_tables
 
+    sweep_tables = _sweep_table_builder()
     t_ldc, t_lac, t_cdc, t_cac = t4
-    dc_s, dc_la, dc_ca, k_dc = device_sweep_tables(t_ldc, t_cdc, K_DC_CAP)
-    ac_s, ac_la, ac_ca, k_ac = device_sweep_tables(t_lac, t_cac, K_AC_CAP)
+    dc_s, dc_la, dc_ca, k_dc = sweep_tables(t_ldc, t_cdc, K_DC_CAP)
+    ac_s, ac_la, ac_ca, k_ac = sweep_tables(t_lac, t_cac, K_AC_CAP)
     l_ent = (t_lac["codes_flat"] << 8) | t_lac["lens_flat"]
     c_ent = (t_cac["codes_flat"] << 8) | t_cac["lens_flat"]
     misc = jnp.stack([l_ent[0xF0], c_ent[0xF0], l_ent[0x00], c_ent[0x00]])
@@ -225,6 +241,69 @@ def _tables_to_pack(
     )
     # fused_pack_words output is already in memory byte order
     return words, total_bits, spec_syms, spec_lens, spec_ns
+
+
+def _tables_to_pack_slab(
+    t4s, scans, n_chroma, lpm, stride, n_words, valid=None
+):
+    """Slab tail: B images' built code tables + interleaved scans ->
+    per-image sweep tables stacked -> ONE fused pack dispatch for all B
+    streams (fused_pack_words_slab). Round 4 measured the per-extra-image
+    slab overhead at +0.3-1.6 ms and attributed it to the B separate
+    pack-kernel invocations (VERDICT r4 #1); this pays the pack kernel's
+    fixed cost once per GROUP. Returns a list of B (words, total_bits,
+    spec_syms, spec_lens, spec_ns) tuples, bit-identical per image to
+    _tables_to_pack.
+
+    valid: optional [B, n_blocks] per-block mask (sharded alignment
+    padding)."""
+    from .bitstream.fused_pack import fused_pack_words_slab
+
+    sweep_tables = _sweep_table_builder()
+    dcs, dcl, dcc, acs, acl, acc, miscs, kds = ([] for _ in range(8))
+    specs = []
+    for t4 in t4s:
+        t_ldc, t_lac, t_cdc, t_cac = t4
+        dc_s, dc_la, dc_ca, k_dc = sweep_tables(t_ldc, t_cdc, K_DC_CAP)
+        ac_s, ac_la, ac_ca, k_ac = sweep_tables(t_lac, t_cac, K_AC_CAP)
+        l_ent = (t_lac["codes_flat"] << 8) | t_lac["lens_flat"]
+        c_ent = (t_cac["codes_flat"] << 8) | t_cac["lens_flat"]
+        dcs.append(dc_s)
+        dcl.append(dc_la)
+        dcc.append(dc_ca)
+        acs.append(ac_s)
+        acl.append(ac_la)
+        acc.append(ac_ca)
+        miscs.append(
+            jnp.stack([l_ent[0xF0], c_ent[0xF0], l_ent[0x00], c_ent[0x00]])
+        )
+        kds.append(jnp.stack([k_dc, k_ac]))
+        specs.append(
+            (
+                jnp.stack([t["sym_by_leaf"] for t in t4]),
+                jnp.stack([t["len_by_leaf"] for t in t4]),
+                jnp.stack([t["n_present"] for t in t4]),
+            )
+        )
+    words, bits = fused_pack_words_slab(
+        jnp.stack(scans), stride, lpm,
+        (
+            jnp.stack(dcs), jnp.stack(dcl), jnp.stack(dcc),
+            jnp.stack(acs), jnp.stack(acl), jnp.stack(acc),
+            jnp.stack(miscs),
+        ),
+        n_words,
+        k_dyn=jnp.stack(kds),
+        valid=valid,
+    )
+    return [(words[i], bits[i]) + specs[i] for i in range(len(t4s))]
+
+
+def slab_onepack_enabled() -> bool:
+    """One pack dispatch per slab GROUP (default) vs the legacy
+    per-image pack loop (DMMT_SLAB_ONEPACK=0, kept for on-chip A/Bs).
+    Baked into traced slab programs via trace_mode_key."""
+    return os.environ.get("DMMT_SLAB_ONEPACK", "1") != "0"
 
 
 def _build_onedispatch_slab_program(
@@ -334,17 +413,35 @@ def _build_onedispatch_slab_program(
             ]
         t_all = device_code_tables_batched(jnp.stack(stack))
 
-        outs = ()
-        for i in range(n_images):
-            t4 = tuple(
+        t4s = [
+            tuple(
                 {k: v[4 * i + j] for k, v in t_all.items()} for j in range(4)
             )
-            lz = luma_zz[i * n_luma : (i + 1) * n_luma]
-            cbz = cb_zz[i * n_chroma : (i + 1) * n_chroma]
-            crz = cr_zz[i * n_chroma : (i + 1) * n_chroma]
-            outs = outs + _tables_to_pack(
-                t4, lz, cbz, crz, n_chroma, lpm, stride, n_words,
-            ) + hists[i]
+            for i in range(n_images)
+        ]
+        outs = ()
+        if slab_onepack_enabled():
+            from .bitstream.device_pack import _interleave_scan
+
+            scans = []
+            for i in range(n_images):
+                lz = luma_zz[i * n_luma : (i + 1) * n_luma]
+                cbz = cb_zz[i * n_chroma : (i + 1) * n_chroma]
+                crz = cr_zz[i * n_chroma : (i + 1) * n_chroma]
+                scans.append(_interleave_scan(lz, cbz, crz, n_chroma, lpm))
+            packs = _tables_to_pack_slab(
+                t4s, scans, n_chroma, lpm, stride, n_words
+            )
+            for i in range(n_images):
+                outs = outs + packs[i] + hists[i]
+        else:
+            for i in range(n_images):
+                lz = luma_zz[i * n_luma : (i + 1) * n_luma]
+                cbz = cb_zz[i * n_chroma : (i + 1) * n_chroma]
+                crz = cr_zz[i * n_chroma : (i + 1) * n_chroma]
+                outs = outs + _tables_to_pack(
+                    t4s[i], lz, cbz, crz, n_chroma, lpm, stride, n_words,
+                ) + hists[i]
         return outs
 
     return program

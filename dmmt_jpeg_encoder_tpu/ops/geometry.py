@@ -98,10 +98,14 @@ def subsample_generalized(
     method: SubsamplingMethod,
 ) -> jnp.ndarray:
     """Arbitrary-rate subsampling with the reference's border semantics
-    (reference: src/image/subsampling.rs:81-135): output dims truncate to
-    floor(dim / rate); Average pushes the h x v rect column-major (x outer,
-    y inner) with coordinates CLAMPED to the last row/column, and divides
-    by the full rect size (clamped duplicates included).
+    (reference: src/image/subsampling.rs:81-135): the row/column views
+    yield a sample for every start index below the channel bound, so
+    output dims are CEIL(dim / rate) — a partial trailing cell still
+    produces one output (subsampling.rs:175-177, 208-210; exercised by
+    its repeat_border_test, rate 3 on 4 rows -> 2 output rows); Average
+    pushes the h x v rect column-major (x outer, y inner) with
+    coordinates CLAMPED to the last row/column (subsampling.rs:108-122),
+    and divides by the full rect size (clamped duplicates included).
 
     The CLI presets take the reshape fast path in subsample(); this is the
     library-level generalization (any rates, any — even non-multiple —
@@ -112,9 +116,9 @@ def subsample_generalized(
     if hr < 1 or vr < 1:
         raise ValueError("subsampling rates must be >= 1")
     h, w = chan.shape
-    sh, sw = h // vr, w // hr
+    sh, sw = -(-h // vr), -(-w // hr)
     if method is SubsamplingMethod.SKIP:
-        return chan[: sh * vr : vr, : sw * hr : hr]
+        return chan[::vr, ::hr]
 
     def shifted(y: int, x: int) -> jnp.ndarray:
         # sample grid (r*vr + y, c*hr + x), edge-clamped

@@ -20,9 +20,10 @@ T(h) ~= 3.2 ms + 5.05 us/row to the h <= 2160 points and extrapolated;
 round 4's 4320-row measurement broke it (T(4320) == 2 * T(2160): the
 marginal per-row cost RISES past ~2160 rows, eating exactly the fixed
 slice the fit promised back — PERF.md "Round 4: the slab A/B"). The
-interpolation reproduces every measured point by construction and is
-only ever evaluated INSIDE the measured range for the meshes we project
-(272..4320 rows).
+interpolation reproduces every measured point by construction; meshes we
+project stay inside or within a few rows of the measured range (n=8 at
+B=1 evaluates 270 rows, 2 rows below the smallest measured point — the
+edge segment's slope extrapolates there).
 
 Collectives are noise at this scale (~2.2 KB histogram psum + 12 B DC
 ppermute + stream/n all_gather, ~0.02 ms on ICI — PERF.md "Projected
@@ -82,12 +83,33 @@ def projected_time_per_image_ms(
     return per_image
 
 
-def best_slab_b(rows: int, n_chips: int, max_b: int = 8) -> int:
+def best_slab_b(
+    rows: int, n_chips: int, max_b: int = 8, width: int = 3840
+) -> int:
     """The slab batch the encode_batch gate would pick: largest B with
-    B * rows/n within the measured-win region (<= 2176 rows per shard
-    program — encoder.py DMMT_SLAB_MAX_ROWS), floor 1."""
+    B * rows/n within the measured-win region, floor 1. Reads the SAME
+    env knobs as encoder.py's gate (DMMT_SLAB_MAX_ROWS rows cap,
+    DMMT_SLAB_MAX_BLOCKS per-shard-program compile cap) so the
+    projection can't silently diverge from what encode_batch dispatches
+    when the knobs differ from their defaults."""
+    import os
+
+    rows_cap = int(os.environ.get("DMMT_SLAB_MAX_ROWS", "2176"))
+    blocks_cap = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
     rows_per_shard = -(-rows // n_chips)
-    return max(1, min(max_b, 2176 // max(rows_per_shard, 1)))
+    # P420 padded block count of one image's shard slice (luma + 2 chroma
+    # at quarter size = 1.5x luma blocks).
+    blocks_per_shard = (
+        -(-rows_per_shard // 16) * 16 // 8 * (-(-width // 16) * 16 // 8) * 3
+    ) // 2
+    return max(
+        1,
+        min(
+            max_b,
+            rows_cap // max(rows_per_shard, 1),
+            blocks_cap // max(blocks_per_shard, 1),
+        ),
+    )
 
 
 def projected_scaling_table(
@@ -102,7 +124,7 @@ def projected_scaling_table(
     t1 = projected_time_per_image_ms(rows, 1, 1)
     out = []
     for n in chips:
-        b = best_slab_b(rows, n) if slab_b is None else slab_b
+        b = best_slab_b(rows, n, width=width) if slab_b is None else slab_b
         t = projected_time_per_image_ms(rows, n, b)
         out.append(
             {

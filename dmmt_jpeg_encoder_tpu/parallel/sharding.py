@@ -505,23 +505,45 @@ def _compiled_sharded_onedispatch_slab(
 
         valid_blocks = valid_rows * mcus_per_row * stride
         bmask = jnp.arange(ns, dtype=jnp.int32) < valid_blocks
-        words_l, bits_l, syms_l, lens_l, ns_l = [], [], [], [], []
-        for i in range(n_images):
-            t4 = tuple(
+        t4s = [
+            tuple(
                 {k: v[4 * i + j] for k, v in t_all.items()}
                 for j in range(4)
             )
-            lz = luma_zz[i * nl_s : (i + 1) * nl_s]
-            cbz = cb_zz[i * nc_s : (i + 1) * nc_s]
-            crz = cr_zz[i * nc_s : (i + 1) * nc_s]
-            w, tb, ss_, sl_, sn_ = _tables_to_pack(
-                t4, lz, cbz, crz, nc_s, lpm, stride, words_cap, valid=bmask
+            for i in range(n_images)
+        ]
+        from ..onedispatch import _tables_to_pack_slab, slab_onepack_enabled
+
+        if slab_onepack_enabled():
+            # ONE pack dispatch for all B per-shard streams (the same
+            # alignment mask applies to every image on this shard).
+            from ..bitstream.device_pack import _interleave_scan
+
+            scans = []
+            for i in range(n_images):
+                lz = luma_zz[i * nl_s : (i + 1) * nl_s]
+                cbz = cb_zz[i * nc_s : (i + 1) * nc_s]
+                crz = cr_zz[i * nc_s : (i + 1) * nc_s]
+                scans.append(_interleave_scan(lz, cbz, crz, nc_s, lpm))
+            packs = _tables_to_pack_slab(
+                t4s, scans, nc_s, lpm, stride, words_cap,
+                valid=jnp.broadcast_to(bmask[None], (n_images, ns)),
             )
-            words_l.append(w)
-            bits_l.append(tb)
-            syms_l.append(ss_)
-            lens_l.append(sl_)
-            ns_l.append(sn_)
+        else:
+            packs = []
+            for i in range(n_images):
+                lz = luma_zz[i * nl_s : (i + 1) * nl_s]
+                cbz = cb_zz[i * nc_s : (i + 1) * nc_s]
+                crz = cr_zz[i * nc_s : (i + 1) * nc_s]
+                packs.append(_tables_to_pack(
+                    t4s[i], lz, cbz, crz, nc_s, lpm, stride, words_cap,
+                    valid=bmask,
+                ))
+        words_l = [p[0] for p in packs]
+        bits_l = [p[1] for p in packs]
+        syms_l = [p[2] for p in packs]
+        lens_l = [p[3] for p in packs]
+        ns_l = [p[4] for p in packs]
         flat_hists = tuple(h for quad in hists for h in quad)
         return (
             jnp.stack(words_l)[None],   # [1, B, cap] -> [n, B, cap]
@@ -580,11 +602,21 @@ def start_sharded_encode_slab(
         b, height, width, preset, config.dct_variant, n
     )
     ph, pw = geom[0], geom[1]
-    arr = np.asarray(pixels_stack)
-    if (ph, pw) != (height, width):
-        padded = np.zeros((b, ph, pw, 3), dtype=arr.dtype)
-        padded[:, :height, :width] = arr
+    if (ph, pw) == (height, width):
+        # already MCU-aligned: pass through (host OR device array) —
+        # forcing np.asarray on a device stack would pay a ~40 MB/s
+        # device->host fetch plus a re-upload for nothing
+        arr = pixels_stack
+    elif isinstance(pixels_stack, np.ndarray):
+        padded = np.zeros((b, ph, pw, 3), dtype=pixels_stack.dtype)
+        padded[:, :height, :width] = pixels_stack
         arr = padded
+    else:
+        # device-resident stack needing padding: pad on device (black)
+        arr = jnp.pad(
+            pixels_stack,
+            ((0, 0), (0, ph - height), (0, pw - width), (0, 0)),
+        )
     outputs = fn(
         jnp.asarray(arr),
         jnp.float32(maxval),

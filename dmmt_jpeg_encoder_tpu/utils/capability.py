@@ -48,6 +48,9 @@ def trace_mode_key() -> tuple:
         os.environ.get("DMMT_HIST", "fused"),
         os.environ.get("DMMT_FUSED1_TILEW", "256"),
         os.environ.get("DMMT_P1_PREC", "highest"),
+        os.environ.get("DMMT_SLAB_ONEPACK", "1"),
+        os.environ.get("DMMT_SWEEP", "1"),
+        os.environ.get("DMMT_SWEEP_HEAD", "32"),
         bool(os.environ.get("DMMT_PALLAS_INTERPRET")),
         bool(os.environ.get("DMMT_NO_FUSED_PACK")),
         pallas_capable(),

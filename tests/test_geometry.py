@@ -118,7 +118,10 @@ def test_entangled_blockize_matches_permutation(rng):
 def _reference_subsample(chan, hr, vr, average):
     """Direct numpy port of the reference's rect/clamp/ordered-sum logic."""
     h, w = chan.shape
-    sh, sw = h // vr, w // hr
+    # ceil semantics: the reference's lazy row/column views yield a
+    # sample for every start index < bound (subsampling.rs:175-177,
+    # 208-210), border-clamped — a partial trailing cell still counts
+    sh, sw = -(-h // vr), -(-w // hr)
     out = np.empty((sh, sw), np.float32)
     for r in range(sh):
         for c in range(sw):
