@@ -192,9 +192,11 @@ def _row_cumsum_excl(x, rows):
     return inc - x
 
 
-def _sweep_lookup(sym, ischroma, syms_ref, la_ref, ca_ref, k):
+def _sweep_lookup(sym, ischroma, syms_ref, la_ref, ca_ref, k, row=0):
     """entry[sym] via a K-iteration sweep of SMEM scalars (no gather).
     ischroma: int32 0/1 (Mosaic can't produce bool vectors from selects).
+    row: SMEM table row (slab mode passes the image index — Mosaic
+    rejects sub-row SMEM block windows, so slab tables arrive whole).
 
     Round-2 note (kernel then ~35 ms): a two-tier variant measured no
     faster. Round 4's ablation attribution changed that calculus — the
@@ -205,14 +207,15 @@ def _sweep_lookup(sym, ischroma, syms_ref, la_ref, ca_ref, k):
     import jax.lax as lax
 
     def body(i, acc):
-        s = syms_ref[0, i]
-        e = jnp.where(ischroma > 0, ca_ref[0, i], la_ref[0, i])
+        s = syms_ref[row, i]
+        e = jnp.where(ischroma > 0, ca_ref[row, i], la_ref[row, i])
         return acc | jnp.where(sym == s, e, 0)
 
     return lax.fori_loop(0, k, body, jnp.zeros(sym.shape, _I32))
 
 
-def _sweep_lookup_2tier(sym, ischroma, syms_ref, la_ref, ca_ref, k, k_head):
+def _sweep_lookup_2tier(sym, ischroma, syms_ref, la_ref, ca_ref, k, k_head,
+                        row=0):
     """Two-tier sweep: tables arrive HOT-FIRST (ascending code length —
     huffman/device_tables.device_sweep_tables_freq), so the first k_head
     entries resolve nearly every live lane of a typical photographic
@@ -224,8 +227,8 @@ def _sweep_lookup_2tier(sym, ischroma, syms_ref, la_ref, ca_ref, k, k_head):
     import jax.lax as lax
 
     def body(i, acc):
-        s = syms_ref[0, i]
-        e = jnp.where(ischroma > 0, ca_ref[0, i], la_ref[0, i])
+        s = syms_ref[row, i]
+        e = jnp.where(ischroma > 0, ca_ref[row, i], la_ref[row, i])
         return acc | jnp.where(sym == s, e, 0)
 
     head_k = jnp.minimum(jnp.asarray(k), k_head)
@@ -272,7 +275,7 @@ def _var_roll_lanes(x, amount, width, max_amount):
 
 
 def _emit_both(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
-               dc_ents, zrl_ents, eob_ents, k_head_2t=0):
+               dc_ents, zrl_ents, eob_ents, k_head_2t=0, row=0):
     """Emission values/lens/offsets for BOTH 64-lane halves of the packed
     row in one pass.
 
@@ -305,12 +308,12 @@ def _emit_both(v, cat, lane, ischroma, acsym_ref, acl_ref, acc_ref, k_ac,
     if k_head_2t > 0:
         ac_ent = _sweep_lookup_2tier(
             jnp.where(nz, sym, -2), ischroma, acsym_ref, acl_ref, acc_ref,
-            k_ac, k_head_2t,
+            k_ac, k_head_2t, row=row,
         )
     else:
         ac_ent = _sweep_lookup(
             jnp.where(nz, sym, -2), ischroma, acsym_ref, acl_ref, acc_ref,
-            k_ac,
+            k_ac, row=row,
         )
     accode = ac_ent >> 8
     aclen = ac_ent & 0xFF
@@ -688,7 +691,10 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         kdyn_ref = refs.pop(0) if dyn_k else None
         (dcsym, dcl, dcc, acsym, acl, acc, misc,
          out_ref, nbits_ref, staging, carry, state, sem, fragbuf) = refs
-        if dyn_k:
+        if dyn_k and slab is not None:
+            k_dc_rt = jnp.minimum(kdyn_ref[pl.program_id(0), 0], k_dc)
+            k_ac_rt = jnp.minimum(kdyn_ref[pl.program_id(0), 1], k_ac)
+        elif dyn_k:
             k_dc_rt = jnp.minimum(kdyn_ref[0, 0], k_dc)
             k_ac_rt = jnp.minimum(kdyn_ref[0, 1], k_ac)
         else:
@@ -699,11 +705,15 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         if slab is None:
             t = pl.program_id(0)
             row0 = 0
+            img = 0  # SMEM tables have one row
         else:
             # grid (B, tiles_per_image), executed lexicographically (one
             # TensorCore): all of image 0's tiles, then image 1's, ...
+            # SMEM tables arrive as FULL [B, k] arrays (Mosaic rejects
+            # sub-row SMEM block windows) and are indexed by image here.
             t = pl.program_id(1)
-            row0 = pl.program_id(0) * slab[1]
+            img = pl.program_id(0)
+            row0 = img * slab[1]
         trows = TILE_ROWS
 
         @pl.when(t == 0)
@@ -737,14 +747,14 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
         cat = _magnitude_category(v)
 
         def misc_pick(l_idx, c_idx, ic):
-            return jnp.where(ic > 0, misc[0, c_idx], misc[0, l_idx])
+            return jnp.where(ic > 0, misc[img, c_idx], misc[img, l_idx])
 
         # DC lookup: ONE sweep over present DC categories on the [T, 2]
         # pair of DC lanes (a [T, 1] op costs the same vregs as [T, 2],
         # so sweeping the halves separately doubled the cost for nothing)
         dccat2 = jnp.concatenate([cat[:, 0:1], cat[:, 64:65]], axis=1)
         ic2 = jnp.concatenate([ic_e, ic_o], axis=1)
-        dc2 = _sweep_lookup(dccat2, ic2, dcsym, dcl, dcc, k_dc_rt)
+        dc2 = _sweep_lookup(dccat2, ic2, dcsym, dcl, dcc, k_dc_rt, row=img)
         dc_ents = [dc2[:, 0:1], dc2[:, 1:2]]
         zrl_ents, eob_ents = [], []
         for ic in (ic_e, ic_o):
@@ -752,7 +762,7 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
             eob_ents.append(misc_pick(2, 3, ic))
         halves = _emit_both(
             v, cat, lane, ischroma, acsym, acl, acc, k_ac_rt,
-            dc_ents, zrl_ents, eob_ents, k_head_2t=k_head_2t,
+            dc_ents, zrl_ents, eob_ents, k_head_2t=k_head_2t, row=img,
         )
 
         bits_e = jnp.where(valid_e, halves[0][4], 0)
@@ -828,7 +838,7 @@ def _make_kernel(n_blocks, stride, luma_per_mcu, k_dc, k_ac, n2_rows, adj,
 
         state[0] = new_bits
         state[1] = new_base
-        nbits_ref[0, 0] = new_bits
+        nbits_ref[0, img] = new_bits
 
     return kernel
 
@@ -1023,14 +1033,18 @@ def fused_pack_words_slab(
                 memory_space=pltpu.VMEM,
             )
         )
+    # SMEM tables arrive WHOLE ([B, k] block == array): Mosaic rejects
+    # sub-row SMEM block windows (block last dims must divide (8, 128) or
+    # equal the array dims — caught by the round-5 hardware probe); the
+    # kernel indexes image rows with program_id(0) instead.
     in_specs.append(
-        pl.BlockSpec((1, 2), lambda ib, it: (ib, 0), memory_space=pltpu.SMEM)
+        pl.BlockSpec((b, 2), lambda ib, it: (0, 0), memory_space=pltpu.SMEM)
     )
     args.append(jnp.asarray(k_dyn).astype(_I32).reshape(b, 2))
     for k in (k_dc, k_dc, k_dc, k_ac, k_ac, k_ac, 4):
         in_specs.append(
             pl.BlockSpec(
-                (1, k), lambda ib, it: (ib, 0), memory_space=pltpu.SMEM
+                (b, k), lambda ib, it: (0, 0), memory_space=pltpu.SMEM
             )
         )
     args += [
@@ -1051,7 +1065,7 @@ def fused_pack_words_slab(
         out_specs=(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (1, 1), lambda ib, it: (0, ib), memory_space=pltpu.SMEM
+                (1, b), lambda ib, it: (0, 0), memory_space=pltpu.SMEM
             ),
         ),
         out_shape=(

@@ -157,13 +157,21 @@ def _build_onedispatch_program(
         return _finish(luma_zz, cb_zz, cr_zz)
 
     def _finish(luma_zz, cb_zz, cr_zz):
-        l_dc, l_ac = symbol_histograms(luma_zz)
-        # the chroma histograms are summed anyway, so ONE structure
-        # scan + bin matmul over the concatenated Cb/Cr blocks is exact
-        # and halves the chroma histogram work
-        c_dc, c_ac = symbol_histograms(
-            jnp.concatenate([cb_zz, cr_zz], axis=0)
-        )
+        if os.environ.get("DMMT_TABLE_ABLATE"):
+            # TIMING-ONLY ablation (bytes WRONG): constant histograms
+            # make the whole histogram+table+sweep slice constant-fold
+            # at compile time, isolating phase1+interleave+pack. The
+            # constants mimic photographic symbol counts (k_ac ~96
+            # present) so the pack kernel's sweep cost stays realistic.
+            l_dc, l_ac, c_dc, c_ac = _ablate_hists()
+        else:
+            l_dc, l_ac = symbol_histograms(luma_zz)
+            # the chroma histograms are summed anyway, so ONE structure
+            # scan + bin matmul over the concatenated Cb/Cr blocks is
+            # exact and halves the chroma histogram work
+            c_dc, c_ac = symbol_histograms(
+                jnp.concatenate([cb_zz, cr_zz], axis=0)
+            )
 
         # all four tables through ONE batched sort stream (4x fewer tiny
         # sort ops than building them separately)
@@ -185,6 +193,25 @@ def _build_onedispatch_program(
         ) + (l_dc, l_ac, c_dc, c_ac)
 
     return program
+
+
+def _ablate_hists():
+    """Constant photographic-shaped histograms for DMMT_TABLE_ABLATE
+    (timing attribution only — output bytes are WRONG)."""
+    dc = np.array(
+        [40, 400, 900, 700, 350, 150, 60, 20, 6, 2, 1, 0, 0, 0, 0, 0],
+        np.int32,
+    )
+    ac = np.zeros(256, np.int32)
+    for run in range(4):
+        for cat in range(1, 9):
+            ac[(run << 4) | cat] = max(1, 40000 >> (2 * run + cat))
+    ac[0x00] = 30000  # EOB
+    ac[0xF0] = 200    # ZRL
+    return (
+        jnp.asarray(dc), jnp.asarray(ac),
+        jnp.asarray(dc), jnp.asarray(ac // 2),
+    )
 
 
 def _sweep_table_builder():

@@ -51,6 +51,7 @@ def trace_mode_key() -> tuple:
         os.environ.get("DMMT_SLAB_ONEPACK", "1"),
         os.environ.get("DMMT_SWEEP", "1"),
         os.environ.get("DMMT_SWEEP_HEAD", "32"),
+        bool(os.environ.get("DMMT_TABLE_ABLATE")),
         bool(os.environ.get("DMMT_PALLAS_INTERPRET")),
         bool(os.environ.get("DMMT_NO_FUSED_PACK")),
         pallas_capable(),
