@@ -253,11 +253,21 @@ def child_main(args) -> int:
         dev8 = jax.device_put(px8)
         jax.block_until_ready(dev8)
         mpix8 = h8 * w8 / 1e6
-        saved = {k: os.environ.get(k) for k in ("DMMT_P1", "DMMT_HIST")}
-        p1, hist = (winner[0], winner[1]) if winner else ("plane", "fused")
+        saved = {
+            k: os.environ.get(k)
+            for k in ("DMMT_P1", "DMMT_HIST", "DMMT_SWEEP")
+        }
+        p1, hist, sweep = (
+            (winner[0], winner[1], winner[3]) if winner
+            else ("plane", "fused", "1")
+        )
         try:
             os.environ["DMMT_P1"] = p1
             os.environ["DMMT_HIST"] = hist
+            if sweep == "1":
+                os.environ.pop("DMMT_SWEEP", None)
+            else:
+                os.environ["DMMT_SWEEP"] = sweep
             jax.device_get(
                 start_one_dispatch(dev8, 255, config, luma_q, chroma_q)
                 .total_bits
@@ -279,7 +289,7 @@ def child_main(args) -> int:
             )
             _emit(
                 "8k_device_program_throughput", mpix8 / best,
-                p1=p1, hist=hist, height=h8, width=w8,
+                p1=p1, hist=hist, sweep=sweep, height=h8, width=w8,
             )
         finally:
             for k, v in saved.items():
@@ -298,13 +308,20 @@ def child_main(args) -> int:
         # end-to-end; the e2e/batch lines above are the tunnel-bound e2e.
         # Measured in the mode-sweep's winning configuration (recorded in
         # the JSON); falls back to the parity default if that fails.
-        saved = {k: os.environ.get(k) for k in ("DMMT_P1", "DMMT_HIST")}
-        for p1, hist, group in ([winner] if winner else []) + [
-            ("plane", "matmul", 1)
+        saved = {
+            k: os.environ.get(k)
+            for k in ("DMMT_P1", "DMMT_HIST", "DMMT_SWEEP")
+        }
+        for p1, hist, group, sweep in ([winner] if winner else []) + [
+            ("plane", "matmul", 1, "1")
         ]:
             try:
                 os.environ["DMMT_P1"] = p1
                 os.environ["DMMT_HIST"] = hist
+                if sweep == "1":
+                    os.environ.pop("DMMT_SWEEP", None)
+                else:
+                    os.environ["DMMT_SWEEP"] = sweep
                 if group == 1:
                     fl_best = _floor_single()
                 else:
@@ -334,6 +351,7 @@ def child_main(args) -> int:
                 _emit(
                     "4k_device_program_throughput", mpix / fl_best,
                     p1=p1, hist=hist, images_per_program=group,
+                    sweep=sweep,
                     floor_stage_ms=round(floor_stage_ms, 2),
                     sweep_stage_ms=(
                         round(sweep_ms, 2) if sweep_ms is not None else None
@@ -398,21 +416,26 @@ def child_main(args) -> int:
     def _mode_sweep(budget_s: float):
         deadline = time.monotonic() + budget_s
         saved = {
-            k: os.environ.get(k) for k in ("DMMT_P1", "DMMT_HIST")
+            k: os.environ.get(k)
+            for k in ("DMMT_P1", "DMMT_HIST", "DMMT_SWEEP")
         }
 
-        def set_env(p1, hist):
+        def set_env(p1, hist, sweep="1"):
             os.environ["DMMT_P1"] = p1
             os.environ["DMMT_HIST"] = hist
+            if sweep == "1":
+                os.environ.pop("DMMT_SWEEP", None)
+            else:
+                os.environ["DMMT_SWEEP"] = sweep
 
         results: dict[tuple, float] = {}
 
-        def candidate(tag, p1, hist, group=1, stack_fn=None):
+        def candidate(tag, p1, hist, group=1, stack_fn=None, sweep="1"):
             if time.monotonic() >= deadline:
                 print(f"mode-sweep: budget out, skipping {tag}", file=sys.stderr)
                 return
             try:
-                set_env(p1, hist)
+                set_env(p1, hist, sweep)
                 if group == 1:
                     ms = _floor_single() * 1e3
                 else:
@@ -420,7 +443,7 @@ def child_main(args) -> int:
                     # failure here must not discard earlier results
                     stack = stack_fn()
                     ms = _floor_multi(stack, group) * 1e3
-                results[(p1, hist, group)] = ms
+                results[(p1, hist, group, sweep)] = ms
                 print(
                     f"mode-sweep {tag}: {ms:.2f} ms/image "
                     f"({mpix * 1e3 / ms:.0f} Mpix/s)",
@@ -430,17 +453,21 @@ def child_main(args) -> int:
                 print(f"mode-sweep {tag} FAILED:", file=sys.stderr)
                 traceback.print_exc()
 
-        # Candidate list pruned by the round-3 on-chip A/Bs (PERF.md):
+        # Candidate list pruned by the round-3/4 on-chip A/Bs (PERF.md):
         # fused hist beat matmul bit-exactly (now the default), fused1
         # beat plane, while mxu and multi-image grouping lost twice —
         # they stay out of the sweep to keep driver-run time down (both
-        # remain env-selectable).
+        # remain env-selectable). 2tier = two-tier hot-first present-
+        # symbol sweep in the pack kernel (bit-exact, round 5).
         candidate("plane/fused-hist", "plane", "fused")
-        candidate("fused1/fused-hist", "fused1", "fused")
+        candidate("plane/2tier", "plane", "fused", sweep="2tier")
         # fused2 = fused1's VMEM-resident structure with the bit-exact
         # Arai dataflow (ops/fused_arai.py) — the parity candidate that
         # can win the headline without forfeiting bit-exactness.
+        candidate("fused2/2tier", "fused2", "fused", sweep="2tier")
         candidate("fused2/fused-hist", "fused2", "fused")
+        candidate("fused1/2tier", "fused1", "fused", sweep="2tier")
+        candidate("fused1/fused-hist", "fused1", "fused")
         candidate("plane/matmul-hist", "plane", "matmul")
         for k, v in saved.items():
             os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
@@ -450,12 +477,13 @@ def child_main(args) -> int:
         print(
             "mode-sweep winner: "
             f"P1={best[0]} HIST={best[1]} group={best[2]} "
-            f"({results[best]:.2f} ms/image)",
+            f"SWEEP={best[3]} ({results[best]:.2f} ms/image)",
             file=sys.stderr,
         )
         # The bit-exact floor as its own driver-recorded metric: the
         # fastest candidate whose output is Arai-bit-exact (everything
-        # except mxu/fused1 — fused2 is the parity fused kernel).
+        # except mxu/fused1 — fused2 is the parity fused kernel, and
+        # 2tier cannot change bits, only sweep trip counts).
         exact = {
             k: v for k, v in results.items()
             if k[0] not in ("mxu", "fused1")
@@ -464,7 +492,7 @@ def child_main(args) -> int:
             bk = min(exact, key=exact.get)
             _emit(
                 "4k_bitexact_program_throughput", mpix * 1e3 / exact[bk],
-                p1=bk[0], hist=bk[1],
+                p1=bk[0], hist=bk[1], sweep=bk[3],
             )
         return best, results
 

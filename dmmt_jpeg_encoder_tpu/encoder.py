@@ -426,9 +426,15 @@ def _encode_batch_slab(
 
     def stack_group(part: list[np.ndarray]):
         """Assemble the group into a reused pre-padded stack buffer
-        (alternating between two per key — see _SLAB_STACK_BUF)."""
+        (alternating between two per key — see _SLAB_STACK_BUF).
+
+        The key includes the TRUE image size, not just the padded one:
+        the fill only writes [:h, :w], so a buffer shared between
+        different true sizes with the same padded size would leak the
+        previous batch's pixels into the black pad region (caught by
+        tests/test_slab_onepack.py run after test_slab.py)."""
         first = _narrow_pixels(part[0], maxval)
-        key = (len(part), ph, pw, first.dtype)
+        key = (len(part), h, w, ph, pw, first.dtype)
         slot = _SLAB_STACK_BUF.get(key)
         if slot is None:
             slot = [0, None, None]

@@ -51,6 +51,24 @@ MEASURED_T_MS: tuple[tuple[int, float], ...] = (
     (2160, 14.47),
     (4320, 29.98),
 )
+
+# (slab_b, rows_per_image) -> measured ms per PROGRAM for a B-image
+# row-stacked slab (one-pack kernel, plane parity mode, idle host —
+# round-5 job 301, PERF.md "Round 5"). These are the REAL shard-program
+# floors the multi-chip projection uses: round 4 modeled a B-image slab
+# as T(B*rows) — a single image's floor — and its own slab A/B
+# contradicted that (per-image table builds + pack invocations made B=2
+# slabs SLOWER than the equal-height single image). Populated from
+# on-chip measurement; empty/missing points fall back to the
+# overhead-inclusive estimate below.
+MEASURED_T_SLAB_MS: dict[tuple[int, int], float] = {}
+
+# Measured per-extra-image overhead inside one slab program (ms/image
+# beyond T(B*rows)/B), used ONLY for (B, rows) points absent from the
+# grid. Round-4 measured +0.3-1.6 ms with per-image packs; the one-pack
+# rework targets ~0. Refreshed from job 301's onepack-vs-single deltas.
+SLAB_OVERHEAD_MS_PER_IMAGE = 0.0
+
 COLLECTIVE_MS = 0.02  # psum + ppermute + segment all_gather on ICI
 
 
@@ -70,14 +88,48 @@ def t_program_ms(rows: int) -> float:
     return t0 + (t1 - t0) * (rows - r0) / (r1 - r0)
 
 
+def t_slab_program_ms(slab_b: int, rows_per_image: int) -> float:
+    """Program time for a slab_b-image row-stacked slab program.
+
+    Prefers the MEASURED 2-D grid point (exact (B, rows) match, then
+    B-interpolation between measured B values at the same rows); falls
+    back to the single-image curve at the stacked height plus the
+    measured per-extra-image overhead."""
+    if slab_b == 1:
+        return t_program_ms(rows_per_image)
+    exact = MEASURED_T_SLAB_MS.get((slab_b, rows_per_image))
+    if exact is not None:
+        return exact
+    same_rows = sorted(
+        (b, ms) for (b, r), ms in MEASURED_T_SLAB_MS.items()
+        if r == rows_per_image
+    )
+    if len(same_rows) >= 2:
+        bs = [b for b, _ in same_rows]
+        if bs[0] <= slab_b <= bs[-1]:
+            for (b0, m0), (b1, m1) in zip(same_rows, same_rows[1:]):
+                if b0 <= slab_b <= b1:
+                    return m0 + (m1 - m0) * (slab_b - b0) / (b1 - b0)
+        # extrapolate the marginal per-image cost of the last segment
+        (b0, m0), (b1, m1) = same_rows[-2], same_rows[-1]
+        return m1 + (m1 - m0) / (b1 - b0) * (slab_b - b1)
+    return (
+        t_program_ms(slab_b * rows_per_image)
+        + SLAB_OVERHEAD_MS_PER_IMAGE * (slab_b - 1)
+    )
+
+
 def projected_time_per_image_ms(
     rows: int, n_chips: int, slab_b: int = 1
 ) -> float:
     """Projected per-image program time with the image's rows split over
     n_chips and slab_b same-geometry images row-stacked per shard
-    program."""
-    rows_per_shard = -(-rows // n_chips)
-    per_image = t_program_ms(slab_b * rows_per_shard) / slab_b
+    program. Shard heights are MCU-aligned (16-row multiples for P420),
+    matching what the sharded program actually runs — and the measured
+    grid's keys (272, not 270, for 4K over 8 chips)."""
+    mcu_rows = -(-rows // 16)
+    rows_per_shard = -(-mcu_rows // n_chips) * 16
+    per_image = t_slab_program_ms(slab_b, rows_per_shard) / slab_b
     if n_chips > 1:
         per_image += COLLECTIVE_MS
     return per_image
@@ -96,7 +148,8 @@ def best_slab_b(
 
     rows_cap = int(os.environ.get("DMMT_SLAB_MAX_ROWS", "2176"))
     blocks_cap = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
-    rows_per_shard = -(-rows // n_chips)
+    mcu_rows = -(-rows // 16)
+    rows_per_shard = -(-mcu_rows // n_chips) * 16  # MCU-aligned
     # P420 padded block count of one image's shard slice (luma + 2 chroma
     # at quarter size = 1.5x luma blocks).
     blocks_per_shard = (

@@ -1,0 +1,69 @@
+"""Multi-chip scaling projection model (parallel/projection.py).
+
+Round 5 reworked the model to prefer MEASURED (slab_b, rows) slab-program
+floors (VERDICT r4 #1a: the round-4 model assumed a B-image slab costs
+T(B*rows) — a single image's floor — which round 4's own slab A/B
+contradicted). These tests pin the lookup/interpolation/fallback
+semantics independent of the measured values."""
+
+import pytest
+
+from dmmt_jpeg_encoder_tpu.parallel import projection as pj
+
+
+@pytest.fixture()
+def grid(monkeypatch):
+    monkeypatch.setattr(
+        pj, "MEASURED_T_SLAB_MS",
+        {(2, 272): 6.0, (4, 272): 9.0, (8, 272): 16.0, (4, 544): 12.0},
+    )
+    monkeypatch.setattr(pj, "SLAB_OVERHEAD_MS_PER_IMAGE", 0.5)
+    return pj
+
+
+def test_exact_grid_point_preferred(grid):
+    assert grid.t_slab_program_ms(4, 272) == 9.0
+
+
+def test_b_interpolation_between_measured(grid):
+    # B=3 at 272 rows: between (2, 6.0) and (4, 9.0) -> 7.5
+    assert grid.t_slab_program_ms(3, 272) == pytest.approx(7.5)
+
+
+def test_b_extrapolation_uses_last_marginal_cost(grid):
+    # beyond B=8 at 272 rows: marginal (16-9)/4 per image
+    assert grid.t_slab_program_ms(10, 272) == pytest.approx(
+        16.0 + (16.0 - 9.0) / 4 * 2
+    )
+
+
+def test_fallback_uses_single_curve_plus_overhead(grid):
+    # no 1088-row slab points: single-image curve + per-extra overhead
+    want = grid.t_program_ms(2 * 1088) + 0.5
+    assert grid.t_slab_program_ms(2, 1088) == pytest.approx(want)
+
+
+def test_single_image_is_the_1d_curve(grid):
+    assert grid.t_slab_program_ms(1, 2176) == grid.t_program_ms(2176)
+
+
+def test_shard_rows_mcu_aligned():
+    # 4K over 8 chips runs 272-row shards (17 MCU rows), not 270
+    t8 = pj.projected_time_per_image_ms(2160, 8, 1)
+    assert t8 == pytest.approx(
+        pj.t_program_ms(272) + pj.COLLECTIVE_MS
+    )
+
+
+def test_best_slab_b_respects_env_caps(monkeypatch):
+    monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "544")
+    assert pj.best_slab_b(2160, 8) == 2  # 2 x 272 <= 544
+    monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "2176")
+    monkeypatch.setenv("DMMT_SLAB_MAX_BLOCKS", "50000")
+    # 272-row 3840-wide shard = 24480 blocks -> blocks cap allows 2
+    assert pj.best_slab_b(2160, 8) == 2
+
+
+def test_scaling_table_carries_slab_b():
+    rows = pj.projected_scaling_table(slab_b=None)
+    assert all("slab_b" in r and "proj_efficiency" in r for r in rows)

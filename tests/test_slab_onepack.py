@@ -197,3 +197,24 @@ def test_encode_batch_slab_legacy_loop_bytes(monkeypatch):
     assert got == want
     assert calls["slab"] == 0, "legacy knob must bypass the one-pack path"
     od._compiled_onedispatch_slab.cache_clear()
+
+
+def test_slab_stack_buffer_not_contaminated_across_sizes(monkeypatch):
+    """Regression: the reused slab stack buffer is only written in
+    [:h, :w], so two batches whose DIFFERENT true sizes share a padded
+    size must not leak the first batch's pixels into the second's black
+    pad region (the buffer key must include the true size)."""
+    monkeypatch.setenv("DMMT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("DMMT_SLAB_B", "2")
+    monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "100000")
+    rng = np.random.default_rng(21)
+    config = EncoderConfig(scan_backend="device")
+    # both pad to 32 x 48 (P420 MCU = 16): 28x44 first, 24x38 second
+    big = [rng.integers(0, 256, (28, 44, 3)).astype(np.uint8)
+           for _ in range(2)]
+    small = [rng.integers(0, 256, (24, 38, 3)).astype(np.uint8)
+             for _ in range(2)]
+    encode_batch(big, 255, config)  # fills the 32x48-padded buffer
+    got = encode_batch(small, 255, config)
+    want = [encode_array(px, 255, config) for px in small]
+    assert got == want
