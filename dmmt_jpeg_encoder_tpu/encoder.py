@@ -348,17 +348,52 @@ def encode_batch(
     # Depth default 2 (double buffering): the ab_round4c sweep found
     # deeper look-ahead never wins on this tunnel — queued uploads
     # head-of-line-block the per-image result fetches on the serialized
-    # link, cancelling the concurrent-transfer gain job 202 measured in
-    # isolation — and the link's ~2x throughput swings dwarf the knob.
+    # link — and the link's ~2x throughput swings dwarf the knob.
+    #
+    # CHUNKED uploads (round-5 job 304): each large upload is split into
+    # ~DMMT_UPLOAD_CHUNK_MB device_put slices, issued HALF before and
+    # half after the previous image's result fetch, so a 25 MB transfer
+    # cannot head-of-line-block a 0.45 MB fetch on a serialized link
+    # (measured: the blocked fetch drops 617 -> 128 ms). The slices are
+    # sealed with one on-device concatenate (~0.15 ms of HBM traffic).
+    # Set DMMT_UPLOAD_CHUNK_MB=0 to upload whole images.
     depth = max(1, int(os.environ.get("DMMT_UPLOAD_DEPTH", "2")))
-    dev: list[object | None] = [None] * len(images)
-    for j in range(min(depth, len(images))):
-        dev[j] = jax.device_put(_narrow_pixels(images[j], maxval))
-    for i in range(len(images)):
-        if i + depth < len(images):
-            dev[i + depth] = jax.device_put(
-                _narrow_pixels(images[i + depth], maxval)
-            )
+    chunk_mb = float(os.environ.get("DMMT_UPLOAD_CHUNK_MB", "4"))
+    n = len(images)
+
+    def n_chunks(src) -> int:
+        if chunk_mb <= 0 or src.nbytes <= 2 * chunk_mb * 1e6:
+            return 1
+        return min(16, -(-src.nbytes // int(chunk_mb * 1e6)))
+
+    parts: list[list | None] = [None] * n
+    dev: list[object | None] = [None] * n
+
+    def put_slices(idx: int, lo_frac: float, hi_frac: float) -> None:
+        src = _narrow_pixels(images[idx], maxval)
+        k = n_chunks(src)
+        if parts[idx] is None:
+            parts[idx] = []
+        step = -(-src.shape[0] // k)
+        lo = int(k * lo_frac)
+        hi = int(k * hi_frac)
+        for j in range(lo, hi):
+            parts[idx].append(jax.device_put(src[j * step : (j + 1) * step]))
+
+    def seal(idx: int) -> None:
+        import jax.numpy as jnp
+
+        p = parts[idx]
+        dev[idx] = p[0] if len(p) == 1 else jnp.concatenate(p, axis=0)
+        parts[idx] = None
+
+    for j in range(min(depth, n)):
+        put_slices(j, 0.0, 1.0)
+        seal(j)
+    for i in range(n):
+        nxt = i + depth
+        if nxt < n:
+            put_slices(nxt, 0.0, 0.5)
         h, w = int(images[i].shape[0]), int(images[i].shape[1])
         if backend == "device" and _use_one_dispatch(config, h, w):
             from .onedispatch import prefetch_one_dispatch, start_one_dispatch
@@ -379,7 +414,10 @@ def encode_batch(
         dev[i] = None  # release the upload buffer
         if i > 0:
             finish(i - 1)
-    finish(len(images) - 1)
+        if nxt < n:
+            put_slices(nxt, 0.5, 1.0)
+            seal(nxt)
+    finish(n - 1)
     return out
 
 

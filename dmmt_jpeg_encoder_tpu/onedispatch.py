@@ -327,10 +327,17 @@ def _tables_to_pack_slab(
 
 
 def slab_onepack_enabled() -> bool:
-    """One pack dispatch per slab GROUP (default) vs the legacy
-    per-image pack loop (DMMT_SLAB_ONEPACK=0, kept for on-chip A/Bs).
-    Baked into traced slab programs via trace_mode_key."""
-    return os.environ.get("DMMT_SLAB_ONEPACK", "1") != "0"
+    """One pack dispatch per slab GROUP (DMMT_SLAB_ONEPACK=1) vs the
+    per-image pack loop (default). The round-5 on-chip A/B (job 301,
+    PERF.md) measured the per-image loop 0.7-1.2 ms/program FASTER at
+    every (B, rows) config: pallas invocations inside one jit program
+    carry no per-call dispatch cost for XLA to amortize, while the
+    one-pack form pays B output-slice copies of its single word buffer.
+    The per-extra-image slab overhead round 4 attributed to pack
+    invocations actually lives in the per-image histogram+table builds.
+    One-pack stays as the tested experimental arm. Baked into traced
+    slab programs via trace_mode_key."""
+    return os.environ.get("DMMT_SLAB_ONEPACK", "0") == "1"
 
 
 def _build_onedispatch_slab_program(
@@ -421,16 +428,24 @@ def _build_onedispatch_slab_program(
 
         # Per-image histograms (independent tables per image), then ONE
         # batched build for all 4B tables.
+        ablate = bool(os.environ.get("DMMT_TABLE_ABLATE"))
         hists = []
         stack = []
         for i in range(n_images):
-            lz = luma_zz[i * n_luma : (i + 1) * n_luma]
-            cbz = cb_zz[i * n_chroma : (i + 1) * n_chroma]
-            crz = cr_zz[i * n_chroma : (i + 1) * n_chroma]
-            l_dc, l_ac = symbol_histograms(lz)
-            c_dc, c_ac = symbol_histograms(
-                jnp.concatenate([cbz, crz], axis=0)
-            )
+            if ablate:
+                # TIMING-ONLY (bytes WRONG): constant per-image
+                # histograms fold the whole per-image hist+table slice
+                # out at compile time — isolates the slab's
+                # per-extra-image overhead (round-5 job 305).
+                l_dc, l_ac, c_dc, c_ac = _ablate_hists()
+            else:
+                lz = luma_zz[i * n_luma : (i + 1) * n_luma]
+                cbz = cb_zz[i * n_chroma : (i + 1) * n_chroma]
+                crz = cr_zz[i * n_chroma : (i + 1) * n_chroma]
+                l_dc, l_ac = symbol_histograms(lz)
+                c_dc, c_ac = symbol_histograms(
+                    jnp.concatenate([cbz, crz], axis=0)
+                )
             hists.append((l_dc, l_ac, c_dc, c_ac))
             stack += [
                 pad_dc_histogram(l_dc),

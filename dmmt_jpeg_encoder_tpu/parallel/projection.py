@@ -41,33 +41,47 @@ discipline); refresh them when the floors move.
 from __future__ import annotations
 
 # (rows, ms) one-dispatch program floors measured on the real chip,
-# IDLE host, parity plane mode (round-4 jobs 210/211/213 + ab_round4
-# job 201; PERF.md "Round 4"). Round 3's job-103 points were taken
-# under CPU-suite load and sat 0.15-0.7 ms lower at the small heights.
+# parity plane mode — round-5 job 301 session (ab_round5b, one process,
+# drift control within 0.06 ms). The single-image curve and the slab
+# grid below come from the SAME session so efficiency ratios are not
+# polluted by the documented +-1.5 ms cross-process variance. (Round-4
+# idle points sat 0.3-2.2 ms lower at the small heights; the 544-row
+# point here reads high against both neighbors — treated as measured.)
 MEASURED_T_MS: tuple[tuple[int, float], ...] = (
-    (272, 5.27),
-    (544, 5.99),
-    (1088, 8.81),
-    (2160, 14.47),
-    (4320, 29.98),
+    (272, 6.02),
+    (544, 8.21),
+    (1088, 9.84),
+    (2176, 14.64),
+    (4320, 29.98),  # round-4 idle measurement (no round-5 re-measure)
 )
 
 # (slab_b, rows_per_image) -> measured ms per PROGRAM for a B-image
-# row-stacked slab (one-pack kernel, plane parity mode, idle host —
-# round-5 job 301, PERF.md "Round 5"). These are the REAL shard-program
-# floors the multi-chip projection uses: round 4 modeled a B-image slab
-# as T(B*rows) — a single image's floor — and its own slab A/B
-# contradicted that (per-image table builds + pack invocations made B=2
-# slabs SLOWER than the equal-height single image). Populated from
-# on-chip measurement; empty/missing points fall back to the
-# overhead-inclusive estimate below.
-MEASURED_T_SLAB_MS: dict[tuple[int, int], float] = {}
+# row-stacked slab (plane parity mode, round-5 job 301, PERF.md
+# "Round 5"). These are the REAL shard-program floors: round 4 modeled
+# a B-image slab as T(B*rows) — a single image's floor — and this grid
+# shows that model missed a ~1.5-3.7 ms per-extra-image slice (the
+# per-image histogram + table builds; the round-5 one-pack A/B ruled
+# OUT pack invocations as the cause). Values are the DEFAULT
+# (per-image-pack) path where measured; the three (2,272)/(4,272)/
+# (2,544) points were measured on the one-pack arm, which ran
+# 0.7-1.2 ms/program slower at the configs where both were taken —
+# treat them as <= 1 ms pessimistic.
+MEASURED_T_SLAB_MS: dict[tuple[int, int], float] = {
+    (2, 272): 10.07,
+    (4, 272): 19.09,
+    (8, 272): 25.30,
+    (2, 544): 12.73,
+    (4, 544): 24.70,
+    (2, 1088): 18.35,
+}
 
 # Measured per-extra-image overhead inside one slab program (ms/image
 # beyond T(B*rows)/B), used ONLY for (B, rows) points absent from the
-# grid. Round-4 measured +0.3-1.6 ms with per-image packs; the one-pack
-# rework targets ~0. Refreshed from job 301's onepack-vs-single deltas.
-SLAB_OVERHEAD_MS_PER_IMAGE = 0.0
+# grid: job 301's B=8x272 program ran 10.7 ms over the equal-height
+# single image — ~1.5 ms per extra image (taller-image configs measured
+# up to 3.7; this constant is the optimistic end, the grid carries the
+# real points).
+SLAB_OVERHEAD_MS_PER_IMAGE = 1.5
 
 COLLECTIVE_MS = 0.02  # psum + ppermute + segment all_gather on ICI
 

@@ -48,7 +48,7 @@ def trace_mode_key() -> tuple:
         os.environ.get("DMMT_HIST", "fused"),
         os.environ.get("DMMT_FUSED1_TILEW", "256"),
         os.environ.get("DMMT_P1_PREC", "highest"),
-        os.environ.get("DMMT_SLAB_ONEPACK", "1"),
+        os.environ.get("DMMT_SLAB_ONEPACK", "0"),
         os.environ.get("DMMT_SWEEP", "1"),
         os.environ.get("DMMT_SWEEP_HEAD", "32"),
         bool(os.environ.get("DMMT_TABLE_ABLATE")),

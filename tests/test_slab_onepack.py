@@ -145,6 +145,7 @@ def test_encode_batch_slab_onepack_bytes(monkeypatch, b):
     monkeypatch.setenv("DMMT_PALLAS_INTERPRET", "1")
     monkeypatch.setenv("DMMT_SLAB_B", str(b))
     monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "100000")
+    monkeypatch.setenv("DMMT_SLAB_ONEPACK", "1")
     import dmmt_jpeg_encoder_tpu.onedispatch as od
 
     calls = {"slab": 0, "per_image": 0}
@@ -173,8 +174,9 @@ def test_encode_batch_slab_onepack_bytes(monkeypatch, b):
 
 
 def test_encode_batch_slab_legacy_loop_bytes(monkeypatch):
-    """DMMT_SLAB_ONEPACK=0 rides the legacy per-image pack loop and still
-    produces identical bytes (the on-chip A/B's control arm)."""
+    """The per-image pack loop (the DEFAULT since the round-5 A/B
+    measured it faster) produces identical bytes and never dispatches
+    the one-pack path."""
     monkeypatch.setenv("DMMT_PALLAS_INTERPRET", "1")
     monkeypatch.setenv("DMMT_SLAB_B", "2")
     monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "100000")
