@@ -39,6 +39,7 @@ import numpy as np
 METRIC_ORDER = [
     "4k_rgb_to_jpeg_throughput",
     "4k_rgb_to_jpeg_batch_throughput",
+    "8k_bitexact_program_throughput",
     "8k_device_program_throughput",
     "4k_device_only_throughput",
     "4k_bitexact_program_throughput",
@@ -235,9 +236,12 @@ def child_main(args) -> int:
     def _bench_8k(winner):
         # Optional TRUE-8K stage (VERDICT r3 #8, non-headline; 7680x4320
         # matching round 3's 8K floors): fused1/fused2's VMEM-residency
-        # advantage grows with image area, and the round-3 8K numbers
-        # were taken under CPU-suite load. Same pipelined program-floor
-        # discipline, winner mode.
+        # advantage grows with image area — the round-5 same-process A/B
+        # measured fused2 at 52.4 ms vs plane 62.0 at 8K while both sit
+        # inside the 4K noise band (PERF.md round 5), so the 4K winner
+        # must NOT be assumed to hold at 8K. This stage A/Bs the 4K
+        # winner against fused2 and records the best; the fastest
+        # bit-exact candidate is emitted as its own metric.
         h8, w8 = 4320, 7680
         yy8, xx8 = np.mgrid[0:h8, 0:w8]
         base8 = (
@@ -257,40 +261,73 @@ def child_main(args) -> int:
             k: os.environ.get(k)
             for k in ("DMMT_P1", "DMMT_HIST", "DMMT_SWEEP")
         }
-        p1, hist, sweep = (
-            (winner[0], winner[1], winner[3]) if winner
-            else ("plane", "fused", "1")
-        )
+        cands = []
+        if winner:
+            cands.append((winner[0], winner[1], winner[3]))
+        cands.append(("fused2", "fused", "1"))
+        if not winner:
+            cands.append(("plane", "fused", "1"))
+        # dedupe, keep order
+        cands = list(dict.fromkeys(cands))
+        results8 = {}
         try:
-            os.environ["DMMT_P1"] = p1
-            os.environ["DMMT_HIST"] = hist
-            if sweep == "1":
-                os.environ.pop("DMMT_SWEEP", None)
-            else:
-                os.environ["DMMT_SWEEP"] = sweep
-            jax.device_get(
-                start_one_dispatch(dev8, 255, config, luma_q, chroma_q)
-                .total_bits
-            )
-            inflight = max(2, bdev // 2)
-            best = float("inf")
-            for _ in range(args.rounds):
-                t0 = time.perf_counter()
-                states = [
-                    start_one_dispatch(dev8, 255, config, luma_q, chroma_q)
-                    for _ in range(inflight)
-                ]
-                jax.device_get(states[-1].total_bits)
-                best = min(best, (time.perf_counter() - t0) / inflight)
-            print(
-                f"8K program floor (x{inflight}, P1={p1} HIST={hist}): "
-                f"best {best*1e3:.1f} ms/image ({mpix8/best:.1f} Mpix/s)",
-                file=sys.stderr,
-            )
-            _emit(
-                "8k_device_program_throughput", mpix8 / best,
-                p1=p1, hist=hist, sweep=sweep, height=h8, width=w8,
-            )
+            for p1, hist, sweep in cands:
+                try:
+                    os.environ["DMMT_P1"] = p1
+                    os.environ["DMMT_HIST"] = hist
+                    if sweep == "1":
+                        os.environ.pop("DMMT_SWEEP", None)
+                    else:
+                        os.environ["DMMT_SWEEP"] = sweep
+                    jax.device_get(
+                        start_one_dispatch(dev8, 255, config, luma_q, chroma_q)
+                        .total_bits
+                    )
+                    inflight = max(2, bdev // 2)
+                    best = float("inf")
+                    for _ in range(args.rounds):
+                        t0 = time.perf_counter()
+                        states = [
+                            start_one_dispatch(
+                                dev8, 255, config, luma_q, chroma_q
+                            )
+                            for _ in range(inflight)
+                        ]
+                        jax.device_get(states[-1].total_bits)
+                        best = min(
+                            best, (time.perf_counter() - t0) / inflight
+                        )
+                    results8[(p1, hist, sweep)] = best
+                    print(
+                        f"8K program floor (x{inflight}, P1={p1} "
+                        f"HIST={hist} SWEEP={sweep}): best {best*1e3:.1f} "
+                        f"ms/image ({mpix8/best:.1f} Mpix/s)",
+                        file=sys.stderr,
+                    )
+                except Exception:
+                    print(
+                        f"8K candidate P1={p1} HIST={hist} FAILED:",
+                        file=sys.stderr,
+                    )
+                    traceback.print_exc()
+            if results8:
+                bk = min(results8, key=results8.get)
+                _emit(
+                    "8k_device_program_throughput", mpix8 / results8[bk],
+                    p1=bk[0], hist=bk[1], sweep=bk[2], height=h8, width=w8,
+                )
+                exact8 = {
+                    k: v for k, v in results8.items()
+                    if k[0] not in ("mxu", "fused1")
+                }
+                if exact8:
+                    ek = min(exact8, key=exact8.get)
+                    _emit(
+                        "8k_bitexact_program_throughput",
+                        mpix8 / exact8[ek],
+                        p1=ek[0], hist=ek[1], sweep=ek[2],
+                        height=h8, width=w8,
+                    )
         finally:
             for k, v in saved.items():
                 (os.environ.pop(k, None) if v is None

@@ -275,14 +275,18 @@ def encode_batch(
         blocks = _total_blocks(h0, w0, config.chroma_subsampling)
         ph0, _ = padded_size(h0, w0, config.chroma_subsampling)
         cap = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
-        # Measured program-time-vs-rows curve (PERF.md round 4): the
-        # per-program fixed slice only amortizes below ~2160 total rows —
-        # T(4320) == 2*T(2160) on-chip, so stacking 4K images gains
-        # nothing and pays a bigger host stack + upload. Cap total slab
-        # rows accordingly; 4K+ batches ride the pipelined per-image path.
-        rows_cap = int(os.environ.get("DMMT_SLAB_MAX_ROWS", "2176"))
+        # Measured slab-win region (PERF.md round 5, jobs 306/307): a
+        # B-image row stack beats B pipelined single-image programs only
+        # when each image is <= ~1088 rows (at 2160+ rows/image round 4
+        # measured the stack dead — T(4320) == 2*T(2160)). WITHIN that
+        # region, deeper is monotonically better — the per-image fixed
+        # slice amortizes with depth (B=32x272 = 2.16 ms/image vs B=8's
+        # 3.16), and the old 2176-total-rows cap (single-image
+        # superlinearity) does not bind stacks — so B is bounded by the
+        # compile cap only. DMMT_SLAB_MAX_ROWS bounds rows per IMAGE.
+        rows_cap = int(os.environ.get("DMMT_SLAB_MAX_ROWS", "1088"))
         b_env = os.environ.get("DMMT_SLAB_B", "auto")
-        b_max = min(cap // max(blocks, 1), rows_cap // max(ph0, 1))
+        b_max = cap // max(blocks, 1) if ph0 <= rows_cap else 1
         slab_b = min(
             len(images),
             b_max if b_env == "auto" else min(int(b_env), b_max),
@@ -588,14 +592,20 @@ def _encode_batch_sharded(
         blocks = _total_blocks(h0, w0, config.chroma_subsampling)
         ph0, _ = padded_size(h0, w0, config.chroma_subsampling)
         cap = int(_os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
-        # Per-SHARD rows cap (measured T(rows) curve, PERF.md round 4):
-        # each shard row-stacks slab_b * ph/n rows; amortization stops
-        # paying past ~2160 rows per shard program.
-        rows_cap = int(_os.environ.get("DMMT_SLAB_MAX_ROWS", "2176"))
+        # Slab-win region bound on the per-image SHARD slice (PERF.md
+        # round 5, jobs 306/307): each chip row-stacks slab_b slices of
+        # ph/n rows; stacking wins when the slice is <= ~1088 rows and
+        # deeper B amortizes the per-image fixed slice (0.83 efficiency
+        # at n=8 with B=32x272), so B is bounded by the per-shard
+        # compile cap only. DMMT_SLAB_MAX_ROWS bounds rows per image
+        # slice.
+        rows_cap = int(_os.environ.get("DMMT_SLAB_MAX_ROWS", "1088"))
         b_env = _os.environ.get("DMMT_SLAB_B", "auto")
-        b_max = min(
-            cap * config.num_shards // max(blocks, 1),
-            rows_cap * config.num_shards // max(ph0, 1),
+        shard_rows = -(-ph0 // config.num_shards)
+        b_max = (
+            cap * config.num_shards // max(blocks, 1)
+            if shard_rows <= rows_cap
+            else 1
         )
         slab_b = min(
             len(images),

@@ -56,23 +56,34 @@ MEASURED_T_MS: tuple[tuple[int, float], ...] = (
 )
 
 # (slab_b, rows_per_image) -> measured ms per PROGRAM for a B-image
-# row-stacked slab (plane parity mode, round-5 job 301, PERF.md
+# row-stacked slab (plane parity mode, round-5 jobs 301/306/307, PERF.md
 # "Round 5"). These are the REAL shard-program floors: round 4 modeled
 # a B-image slab as T(B*rows) — a single image's floor — and this grid
-# shows that model missed a ~1.5-3.7 ms per-extra-image slice (the
-# per-image histogram + table builds; the round-5 one-pack A/B ruled
-# OUT pack invocations as the cause). Values are the DEFAULT
-# (per-image-pack) path where measured; the three (2,272)/(4,272)/
-# (2,544) points were measured on the one-pack arm, which ran
-# 0.7-1.2 ms/program slower at the configs where both were taken —
+# shows that model missed a per-extra-image slice (NOT pack invocations
+# — the one-pack A/B ruled those out — and NOT mainly hist/table builds
+# — TABLE-ABLATE recovered only 0.74 ms of B=8x272's +10.7; it behaves
+# as a fixed ~1.6-1.9 ms marginal cost per image that AMORTIZES with
+# depth: B=32x272 reaches 2.16 ms/image where B=8 paid 3.16). The
+# single-image 2176-total-rows superlinearity does NOT bind stacked
+# small images — deep stacks (4352-8704 total rows) keep winning.
+# Values are the DEFAULT (per-image-pack) path where measured; the three
+# (2,272)/(4,272)/(2,544) points were measured on the one-pack arm,
+# which ran 0.7-1.2 ms/program slower where both arms were taken —
 # treat them as <= 1 ms pessimistic.
 MEASURED_T_SLAB_MS: dict[tuple[int, int], float] = {
     (2, 272): 10.07,
     (4, 272): 19.09,
     (8, 272): 25.30,
+    (12, 272): 31.77,   # job 307
+    (16, 272): 38.18,   # job 306
+    (32, 272): 69.10,   # job 307 (783K-block program; compiles fine)
     (2, 544): 12.73,
     (4, 544): 24.70,
+    (8, 544): 36.99,    # job 306
+    (16, 544): 68.16,   # job 307
     (2, 1088): 18.35,
+    (4, 1088): 36.93,   # job 307
+    (8, 1088): 69.53,   # job 307 (late-session; anchor had drifted +1.2)
 }
 
 # Measured per-extra-image overhead inside one slab program (ms/image
@@ -150,33 +161,38 @@ def projected_time_per_image_ms(
 
 
 def best_slab_b(
-    rows: int, n_chips: int, max_b: int = 8, width: int = 3840
+    rows: int, n_chips: int, max_b: int = 32, width: int = 3840
 ) -> int:
-    """The slab batch the encode_batch gate would pick: largest B with
-    B * rows/n within the measured-win region, floor 1. Reads the SAME
-    env knobs as encoder.py's gate (DMMT_SLAB_MAX_ROWS rows cap,
-    DMMT_SLAB_MAX_BLOCKS per-shard-program compile cap) so the
-    projection can't silently diverge from what encode_batch dispatches
-    when the knobs differ from their defaults."""
+    """The slab batch the encode_batch gate would pick: deepest B whose
+    per-shard program stays under the compile cap, provided each image's
+    shard slice is inside the measured slab-win region, else 1. Reads
+    the SAME env knobs as encoder.py's gate (DMMT_SLAB_MAX_ROWS
+    per-image rows bound, DMMT_SLAB_MAX_BLOCKS per-shard-program compile
+    cap) so the projection can't silently diverge from what encode_batch
+    dispatches when the knobs differ from their defaults.
+
+    Round-5 jobs 306/307 changed the policy: the old 2176-TOTAL-rows cap
+    came from single-image superlinearity that does not bind stacked
+    small images (B=32x272 = 8704 total rows runs 2.16 ms/image where
+    B=8 paid 3.16) — the per-image fixed slice amortizes with depth, so
+    deeper is monotonically better up to the compile cap. What remains
+    is the WIN-REGION bound: slabs beat the single-image path only when
+    each stacked slice is <= ~1088 rows (at 2160+ rows/image round 4
+    measured the stack dead)."""
     import os
 
-    rows_cap = int(os.environ.get("DMMT_SLAB_MAX_ROWS", "2176"))
+    rows_cap = int(os.environ.get("DMMT_SLAB_MAX_ROWS", "1088"))
     blocks_cap = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
     mcu_rows = -(-rows // 16)
     rows_per_shard = -(-mcu_rows // n_chips) * 16  # MCU-aligned
+    if rows_per_shard > rows_cap:
+        return 1
     # P420 padded block count of one image's shard slice (luma + 2 chroma
     # at quarter size = 1.5x luma blocks).
     blocks_per_shard = (
         -(-rows_per_shard // 16) * 16 // 8 * (-(-width // 16) * 16 // 8) * 3
     ) // 2
-    return max(
-        1,
-        min(
-            max_b,
-            rows_cap // max(rows_per_shard, 1),
-            blocks_cap // max(blocks_per_shard, 1),
-        ),
-    )
+    return max(1, min(max_b, blocks_cap // max(blocks_per_shard, 1)))
 
 
 def projected_scaling_table(

@@ -56,12 +56,17 @@ def test_shard_rows_mcu_aligned():
 
 
 def test_best_slab_b_respects_env_caps(monkeypatch):
-    monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "544")
-    assert pj.best_slab_b(2160, 8) == 2  # 2 x 272 <= 544
-    monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "2176")
+    # DMMT_SLAB_MAX_ROWS bounds rows per IMAGE SLICE (win-region gate,
+    # round 5): a 272-row shard above the cap disables slabs entirely
+    monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "256")
+    assert pj.best_slab_b(2160, 8) == 1
+    # inside the win region, B is bounded by the compile cap only
+    monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "1088")
     monkeypatch.setenv("DMMT_SLAB_MAX_BLOCKS", "50000")
     # 272-row 3840-wide shard = 24480 blocks -> blocks cap allows 2
     assert pj.best_slab_b(2160, 8) == 2
+    monkeypatch.setenv("DMMT_SLAB_MAX_BLOCKS", "800000")
+    assert pj.best_slab_b(2160, 8) == 32  # deep stack up to max_b
 
 
 def test_scaling_table_carries_slab_b():

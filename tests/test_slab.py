@@ -160,18 +160,18 @@ def test_encode_batch_slab_off_flag(rng, monkeypatch):
 
 
 def test_encode_batch_rows_cap_skips_slab(rng, monkeypatch):
-    """Round-4 measured gate: the slab only wins below ~2160 total rows
-    (T(4320) == 2*T(2160) on-chip, PERF.md round 4), so tall images must
-    ride the pipelined per-image path even when the block cap allows
-    stacking."""
+    """Measured slab-win region (round 5): DMMT_SLAB_MAX_ROWS bounds
+    rows per IMAGE — images taller than the cap must ride the pipelined
+    per-image path even when the block cap allows stacking (at 2160+
+    rows/image round 4 measured the stack dead)."""
     import dmmt_jpeg_encoder_tpu.onedispatch as od
 
     def boom(*a, **k):  # pragma: no cover - must not be called
         raise AssertionError("slab dispatched past the rows cap")
 
     monkeypatch.setattr(od, "start_one_dispatch_slab", boom)
-    # padded height 64 > rows cap of 100 for B=2 -> slab must be skipped
-    monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "100")
+    # padded per-image height 64 > rows cap of 32 -> slab must be skipped
+    monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "32")
     imgs = [rng.integers(0, 256, (64, 48, 3), dtype=np.uint8) for _ in range(2)]
     cfg = EncoderConfig(scan_backend="device")
     batched = encode_batch(imgs, 255, cfg)
@@ -179,9 +179,11 @@ def test_encode_batch_rows_cap_skips_slab(rng, monkeypatch):
     assert batched == singles
 
 
-def test_encode_batch_rows_cap_bounds_group_size(rng, monkeypatch):
-    """Rows cap picks B (not just on/off): 4 x 32-row images with a
-    64-row cap must run as two B=2 slab groups."""
+def test_encode_batch_blocks_cap_bounds_group_size(rng, monkeypatch):
+    """The compile cap picks B (rows no longer bound depth — round-5
+    jobs 306/307 measured deep stacks monotonically better): 4 x 32-row
+    images (36 blocks each) with a 72-block cap must run as two B=2
+    slab groups."""
     calls = {"n": 0, "b": set()}
     real = start_one_dispatch_slab
 
@@ -194,7 +196,7 @@ def test_encode_batch_rows_cap_bounds_group_size(rng, monkeypatch):
         "dmmt_jpeg_encoder_tpu.onedispatch.start_one_dispatch_slab",
         counting,
     )
-    monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "64")
+    monkeypatch.setenv("DMMT_SLAB_MAX_BLOCKS", "72")
     imgs = [rng.integers(0, 256, (32, 48, 3), dtype=np.uint8) for _ in range(4)]
     cfg = EncoderConfig(scan_backend="device")
     batched = encode_batch(imgs, 255, cfg)
