@@ -287,9 +287,12 @@ def encode_batch(
         rows_cap = int(os.environ.get("DMMT_SLAB_MAX_ROWS", "1088"))
         b_env = os.environ.get("DMMT_SLAB_B", "auto")
         b_max = cap // max(blocks, 1) if ph0 <= rows_cap else 1
+        # Auto depth clamps to the deepest MEASURED stack (B=32, job
+        # 307): beyond it the win is unquantified and per-image program
+        # sections grow compile time linearly. DMMT_SLAB_B overrides.
         slab_b = min(
             len(images),
-            b_max if b_env == "auto" else min(int(b_env), b_max),
+            min(b_max, 32) if b_env == "auto" else min(int(b_env), b_max),
         )
         if slab_b >= 2:
             return _encode_batch_slab(images, maxval, config, slab_b)
@@ -609,7 +612,8 @@ def _encode_batch_sharded(
         )
         slab_b = min(
             len(images),
-            b_max if b_env == "auto" else min(int(b_env), b_max),
+            # auto depth clamps to the deepest measured stack (job 307)
+            min(b_max, 32) if b_env == "auto" else min(int(b_env), b_max),
         )
         if slab_b >= 2:
             return _encode_batch_sharded_slab(

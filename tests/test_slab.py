@@ -205,6 +205,31 @@ def test_encode_batch_blocks_cap_bounds_group_size(rng, monkeypatch):
     assert batched == singles
 
 
+def test_encode_batch_auto_depth_clamps_at_32(rng, monkeypatch):
+    """Auto slab depth clamps at the deepest MEASURED stack (B=32, job
+    307): 34 tiny images must run as one B=32 group + one B=2 group,
+    not one B=34 program (unmeasured win, linear compile growth)."""
+    seen = []
+    real = start_one_dispatch_slab
+
+    def counting(stack, *a, **k):
+        seen.append(int(stack.shape[0]))
+        return real(stack, *a, **k)
+
+    monkeypatch.setattr(
+        "dmmt_jpeg_encoder_tpu.onedispatch.start_one_dispatch_slab",
+        counting,
+    )
+    imgs = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(34)
+    ]
+    cfg = EncoderConfig(scan_backend="device")
+    batched = encode_batch(imgs, 255, cfg)
+    assert sorted(seen) == [2, 32]
+    singles = [encode_array(px, 255, cfg) for px in imgs]
+    assert batched == singles
+
+
 def test_encode_batch_upload_depth_paths(rng, monkeypatch):
     """The pipelined per-image path is byte-stable across upload
     look-ahead depths (DMMT_UPLOAD_DEPTH edge values)."""
