@@ -275,10 +275,12 @@ def _tables_to_pack_slab(
 ):
     """Slab tail: B images' built code tables + interleaved scans ->
     per-image sweep tables stacked -> ONE fused pack dispatch for all B
-    streams (fused_pack_words_slab). Round 4 measured the per-extra-image
-    slab overhead at +0.3-1.6 ms and attributed it to the B separate
-    pack-kernel invocations (VERDICT r4 #1); this pays the pack kernel's
-    fixed cost once per GROUP. Returns a list of B (words, total_bits,
+    streams (fused_pack_words_slab). Built for VERDICT r4 #1 on the
+    theory that B separate pack invocations carried the per-extra-image
+    slab overhead; the round-5 on-chip A/B (job 301, PERF.md) then
+    measured this form 0.7-1.2 ms/program SLOWER than the per-image
+    loop at every config, so it is the non-default experimental arm
+    (DMMT_SLAB_ONEPACK=1). Returns a list of B (words, total_bits,
     spec_syms, spec_lens, spec_ns) tuples, bit-identical per image to
     _tables_to_pack.
 
@@ -333,10 +335,11 @@ def slab_onepack_enabled() -> bool:
     every (B, rows) config: pallas invocations inside one jit program
     carry no per-call dispatch cost for XLA to amortize, while the
     one-pack form pays B output-slice copies of its single word buffer.
-    The per-extra-image slab overhead round 4 attributed to pack
-    invocations actually lives in the per-image histogram+table builds.
-    One-pack stays as the tested experimental arm. Baked into traced
-    slab programs via trace_mode_key."""
+    (The per-extra-image slab overhead is NOT the pack invocations and
+    NOT mainly the table builds either — job 306's TABLE-ABLATE cleared
+    those; it is a fixed marginal slice that deep stacking amortizes,
+    PERF.md round 5.) One-pack stays as the tested experimental arm.
+    Baked into traced slab programs via trace_mode_key."""
     return os.environ.get("DMMT_SLAB_ONEPACK", "0") == "1"
 
 
