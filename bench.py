@@ -41,6 +41,8 @@ METRIC_ORDER = [
     "4k_rgb_to_jpeg_batch_throughput",
     "8k_bitexact_program_throughput",
     "8k_device_program_throughput",
+    "4k_n4_slab_mesh_throughput",
+    "4k_n8_slab_mesh_throughput",
     "4k_device_only_throughput",
     "4k_bitexact_program_throughput",
     "4k_device_program_throughput",
@@ -333,6 +335,80 @@ def child_main(args) -> int:
                 (os.environ.pop(k, None) if v is None
                  else os.environ.__setitem__(k, v))
 
+    @_stage("slab-floor")
+    def _bench_slab_floor():
+        # MEASURED deep-slab shard programs (round-5 jobs 306/307): the
+        # exact per-chip programs encode_batch's sharded-slab gate
+        # dispatches for 4K over an n-chip mesh — B 272-row (n=8, B=32)
+        # or 544-row (n=4, B=16) image slices row-stacked per program.
+        # Driver-recorded so the >=80% scaling row rests on a measured
+        # floor, not a projection: the emitted value is the aggregate
+        # mesh throughput = n * slice_mpix / (t_slice + collectives),
+        # with every term measured except the 0.02 ms ICI collective
+        # allowance (parallel/projection.py COLLECTIVE_MS; psum +
+        # ppermute + segment all_gather on tiny operands).
+        from dmmt_jpeg_encoder_tpu.onedispatch import (
+            start_one_dispatch_slab,
+        )
+
+        # parity mode anchor: this stage runs in the default env
+        t1 = _floor_single()  # seconds, single 4K program
+        for n_chips, b, rows in ((8, 32, 272), (4, 16, 544)):
+            if rows > h:
+                # the stage models 4K-over-n-chips shard slices; smaller
+                # bench geometries can't source a full slice
+                print(
+                    f"slab floor B={b}x{rows}: skipped (bench height "
+                    f"{h} < slice)",
+                    file=sys.stderr,
+                )
+                continue
+            stack = np.stack(
+                [
+                    np.ascontiguousarray(
+                        np.roll(pixels, 13 * i, axis=0)[:rows]
+                    )
+                    for i in range(b)
+                ]
+            )
+            dev_stack = jax.device_put(stack)
+            jax.block_until_ready(dev_stack)
+            t0 = time.perf_counter()
+            jax.device_get(
+                start_one_dispatch_slab(
+                    dev_stack, 255, config, luma_q, chroma_q
+                )[-1].total_bits
+            )
+            warm_s = time.perf_counter() - t0
+            best = float("inf")
+            calls = 2
+            for _ in range(args.rounds):
+                t0 = time.perf_counter()
+                last = None
+                for _ in range(calls):
+                    last = start_one_dispatch_slab(
+                        dev_stack, 255, config, luma_q, chroma_q
+                    )
+                jax.device_get(last[-1].total_bits)
+                best = min(best, (time.perf_counter() - t0) / (calls * b))
+            slice_mpix = rows * w / 1e6
+            agg = n_chips * slice_mpix / (best + 2e-5)
+            eff = t1 / (n_chips * best)
+            print(
+                f"slab floor B={b}x{rows}: {best*1e3:.2f} ms/image-slice "
+                f"(warm/compile {warm_s:.0f}s) -> n={n_chips} aggregate "
+                f"{agg:.0f} Mpix/s, efficiency {eff:.2f} vs single "
+                f"{t1*1e3:.2f} ms",
+                file=sys.stderr,
+            )
+            _emit(
+                f"4k_n{n_chips}_slab_mesh_throughput", agg,
+                slab_b=b, rows_per_slice=rows,
+                ms_per_image_slice=round(best * 1e3, 3),
+                single_anchor_ms=round(t1 * 1e3, 2),
+                efficiency=round(eff, 3),
+            )
+
     @_stage("program-floor")
     def _bench_program_floor(winner, sweep_ms=None):
         # Program floor: dispatches pipelined, block only on the final
@@ -568,6 +644,8 @@ def child_main(args) -> int:
     _bench_device_only()
     if not args.no_8k:
         _bench_8k(winner)
+    if not args.no_slab:
+        _bench_slab_floor()
     if not args.device_only:
         _bench_components()
         _bench_e2e()
@@ -673,6 +751,10 @@ def main() -> int:
         "--no-8k", action="store_true",
         help="skip the optional 8K program-floor stage",
     )
+    ap.add_argument(
+        "--no-slab", action="store_true",
+        help="skip the measured deep-slab shard-program stage",
+    )
     ap.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
     ap.add_argument("--attempts", type=int, default=3)
     ap.add_argument(
@@ -701,7 +783,7 @@ def main() -> int:
         "--preset", args.preset, "--sweep-budget", str(args.sweep_budget),
     ] + (["--device-only"] if args.device_only else []) + (
         ["--no-8k"] if args.no_8k else []
-    )
+    ) + (["--no-slab"] if args.no_slab else [])
     metrics: dict = {}
     backoffs = [45.0, 90.0, 180.0]
     for attempt in range(args.attempts):
