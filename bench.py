@@ -353,7 +353,7 @@ def child_main(args) -> int:
 
         # parity mode anchor: this stage runs in the default env
         t1 = _floor_single()  # seconds, single 4K program
-        for n_chips, b, rows in ((8, 32, 272), (4, 16, 544)):
+        for n_chips, b, rows in ((8, 64, 272), (4, 32, 544)):
             if rows > h:
                 # the stage models 4K-over-n-chips shard slices; smaller
                 # bench geometries can't source a full slice

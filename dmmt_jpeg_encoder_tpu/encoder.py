@@ -274,7 +274,7 @@ def encode_batch(
         h0, w0 = int(images[0].shape[0]), int(images[0].shape[1])
         blocks = _total_blocks(h0, w0, config.chroma_subsampling)
         ph0, _ = padded_size(h0, w0, config.chroma_subsampling)
-        cap = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
+        cap = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "1700000"))
         # Measured slab-win region (PERF.md round 5, jobs 306/307): a
         # B-image row stack beats B pipelined single-image programs only
         # when each image is <= ~1088 rows (at 2160+ rows/image round 4
@@ -287,13 +287,21 @@ def encode_batch(
         rows_cap = int(os.environ.get("DMMT_SLAB_MAX_ROWS", "1088"))
         b_env = os.environ.get("DMMT_SLAB_B", "auto")
         b_max = cap // max(blocks, 1) if ph0 <= rows_cap else 1
-        # Auto depth clamps to the deepest MEASURED stack (B=32, job
-        # 307): beyond it the win is unquantified and per-image program
-        # sections grow compile time linearly. DMMT_SLAB_B overrides.
+        # Auto depth clamps to the deepest MEASURED stack (B=64, job
+        # 310 — 2.02 ms/272-row image, 1.57M-block program compiles in
+        # ~160 s): beyond it the win is unquantified and per-image
+        # program sections grow compile time linearly. DMMT_SLAB_B
+        # overrides.
         slab_b = min(
             len(images),
-            min(b_max, 32) if b_env == "auto" else min(int(b_env), b_max),
+            min(b_max, 64) if b_env == "auto" else min(int(b_env), b_max),
         )
+        # Job 310 measured DEFAULT-arm B=2 slabs LOSING to the pipelined
+        # per-image path below 1088 rows/image (15.9 vs 12.0 ms at 272,
+        # 19.95 vs 16.4 at 544; B=2x1088 and B>=4 win) — demote auto
+        # picks of exactly 2 there. Explicit DMMT_SLAB_B=2 is honored.
+        if slab_b == 2 and b_env == "auto" and ph0 < 1088:
+            slab_b = 1
         if slab_b >= 2:
             return _encode_batch_slab(images, maxval, config, slab_b)
     if backend == "device" and same_shape and len(images) > 1 and fused_batch > 1:
@@ -594,7 +602,7 @@ def _encode_batch_sharded(
         h0, w0 = int(images[0].shape[0]), int(images[0].shape[1])
         blocks = _total_blocks(h0, w0, config.chroma_subsampling)
         ph0, _ = padded_size(h0, w0, config.chroma_subsampling)
-        cap = int(_os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
+        cap = int(_os.environ.get("DMMT_SLAB_MAX_BLOCKS", "1700000"))
         # Slab-win region bound on the per-image SHARD slice (PERF.md
         # round 5, jobs 306/307): each chip row-stacks slab_b slices of
         # ph/n rows; stacking wins when the slice is <= ~1088 rows and
@@ -612,9 +620,13 @@ def _encode_batch_sharded(
         )
         slab_b = min(
             len(images),
-            # auto depth clamps to the deepest measured stack (job 307)
-            min(b_max, 32) if b_env == "auto" else min(int(b_env), b_max),
+            # auto depth clamps to the deepest measured stack (job 310)
+            min(b_max, 64) if b_env == "auto" else min(int(b_env), b_max),
         )
+        # auto B=2 below 1088-row slices measured slower than per-image
+        # pipelining (job 310) — demote; explicit DMMT_SLAB_B=2 honored
+        if slab_b == 2 and b_env == "auto" and shard_rows < 1088:
+            slab_b = 1
         if slab_b >= 2:
             return _encode_batch_sharded_slab(
                 images, maxval, config, slab_b, luma_q, chroma_q

@@ -544,7 +544,7 @@ def start_one_dispatch_slab(
             padded[:, :height, :width] = arr
         pixels_stack = padded
     blocks_per_image = _total_blocks(height, width, preset)
-    limit = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
+    limit = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "1700000"))
     if b * blocks_per_image > limit:
         raise ValueError(
             f"start_one_dispatch_slab: {b} x {blocks_per_image} blocks "

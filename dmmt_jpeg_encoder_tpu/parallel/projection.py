@@ -52,7 +52,7 @@ MEASURED_T_MS: tuple[tuple[int, float], ...] = (
     (544, 8.21),
     (1088, 9.84),
     (2176, 14.64),
-    (4320, 29.98),  # round-4 idle measurement (no round-5 re-measure)
+    (4320, 26.84),  # round-5 job 310 refresh (round 4 read 29.98)
 )
 
 # (slab_b, rows_per_image) -> measured ms per PROGRAM for a B-image
@@ -65,22 +65,30 @@ MEASURED_T_MS: tuple[tuple[int, float], ...] = (
 # as a fixed ~1.6-1.9 ms marginal cost per image that AMORTIZES with
 # depth: B=32x272 reaches 2.16 ms/image where B=8 paid 3.16). The
 # single-image 2176-total-rows superlinearity does NOT bind stacked
-# small images — deep stacks (4352-8704 total rows) keep winning.
-# Values are the DEFAULT (per-image-pack) path where measured; the three
-# (2,272)/(4,272)/(2,544) points were measured on the one-pack arm,
-# which ran 0.7-1.2 ms/program slower where both arms were taken —
-# treat them as <= 1 ms pessimistic.
+# small images — deep stacks (up to B=64 x 272 = 17408 total rows /
+# 1.57M blocks, job 310) keep winning. All values are the DEFAULT
+# (per-image-pack) path; job 310 re-measured the three points first
+# taken on the one-pack arm and found the default arm SLOWER at B=2
+# ((2,272) 15.91 vs one-pack's 10.07; (2,544) 19.95 vs 12.73 — B=2 is
+# the one depth where one-pack's merged dispatch wins, but the gate
+# demotes auto B=2 below 1088 rows anyway because BOTH arms lose to
+# per-image pipelining there).
 MEASURED_T_SLAB_MS: dict[tuple[int, int], float] = {
-    (2, 272): 10.07,
-    (4, 272): 19.09,
+    (2, 272): 15.91,    # job 310 default arm (one-pack arm: 10.07)
+    (4, 272): 19.07,    # job 310 default arm (one-pack arm: 19.09)
     (8, 272): 25.30,
     (12, 272): 31.77,   # job 307
     (16, 272): 38.18,   # job 306
     (32, 272): 69.10,   # job 307 (783K-block program; compiles fine)
-    (2, 544): 12.73,
+    (48, 272): 102.90,  # job 310 (1.18M blocks)
+    (64, 272): 129.03,  # job 310 (1.57M blocks, ~160 s compile; best
+                        # per-image floor measured: 2.016 ms)
+    (2, 544): 19.95,    # job 310 default arm (one-pack arm: 12.73)
     (4, 544): 24.70,
     (8, 544): 36.99,    # job 306
     (16, 544): 68.16,   # job 307
+    (32, 544): 122.02,  # job 311 (1.57M blocks; slow-host session —
+                        # its 2176 anchor read 16.2 vs 14.6 same-day)
     (2, 1088): 18.35,
     (4, 1088): 36.93,   # job 307
     (8, 1088): 69.53,   # job 307 (late-session; anchor had drifted +1.2)
@@ -161,7 +169,7 @@ def projected_time_per_image_ms(
 
 
 def best_slab_b(
-    rows: int, n_chips: int, max_b: int = 32, width: int = 3840
+    rows: int, n_chips: int, max_b: int = 64, width: int = 3840
 ) -> int:
     """The slab batch the encode_batch gate would pick: deepest B whose
     per-shard program stays under the compile cap, provided each image's
@@ -178,11 +186,13 @@ def best_slab_b(
     deeper is monotonically better up to the compile cap. What remains
     is the WIN-REGION bound: slabs beat the single-image path only when
     each stacked slice is <= ~1088 rows (at 2160+ rows/image round 4
-    measured the stack dead)."""
+    measured the stack dead). Job 310 extended the measured depth to
+    B=64 (2.016 ms/272-row image; 1.57M-block program) — max_b matches —
+    and showed auto B=2 must demote below 1088-row slices."""
     import os
 
     rows_cap = int(os.environ.get("DMMT_SLAB_MAX_ROWS", "1088"))
-    blocks_cap = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
+    blocks_cap = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "1700000"))
     mcu_rows = -(-rows // 16)
     rows_per_shard = -(-mcu_rows // n_chips) * 16  # MCU-aligned
     if rows_per_shard > rows_cap:
@@ -192,7 +202,13 @@ def best_slab_b(
     blocks_per_shard = (
         -(-rows_per_shard // 16) * 16 // 8 * (-(-width // 16) * 16 // 8) * 3
     ) // 2
-    return max(1, min(max_b, blocks_cap // max(blocks_per_shard, 1)))
+    b = max(1, min(max_b, blocks_cap // max(blocks_per_shard, 1)))
+    # job 310: B=2 slabs below 1088-row slices lose to per-image
+    # pipelining on the default arm — the gate demotes auto picks of
+    # exactly 2 there (encoder.py mirrors this).
+    if b == 2 and rows_per_shard < 1088:
+        return 1
+    return b
 
 
 def projected_scaling_table(

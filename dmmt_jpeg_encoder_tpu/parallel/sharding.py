@@ -590,7 +590,7 @@ def start_sharded_encode_slab(
     # The compile-size cap applies to the PER-SHARD program (the jit body
     # sees 1/n of each image's blocks, times b images).
     per_shard_blocks = b * _total_blocks_of(height, width, preset) // n
-    limit = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "800000"))
+    limit = int(os.environ.get("DMMT_SLAB_MAX_BLOCKS", "1700000"))
     if per_shard_blocks > limit:
         raise ValueError(
             f"start_sharded_encode_slab: {per_shard_blocks} blocks/shard "

@@ -60,13 +60,20 @@ def test_best_slab_b_respects_env_caps(monkeypatch):
     # round 5): a 272-row shard above the cap disables slabs entirely
     monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "256")
     assert pj.best_slab_b(2160, 8) == 1
-    # inside the win region, B is bounded by the compile cap only
+    # inside the win region, B is bounded by the compile cap only;
+    # a cap that only allows B=2 demotes to 1 below 1088-row slices
+    # (job 310: both slab arms lose to per-image pipelining there)
     monkeypatch.setenv("DMMT_SLAB_MAX_ROWS", "1088")
     monkeypatch.setenv("DMMT_SLAB_MAX_BLOCKS", "50000")
-    # 272-row 3840-wide shard = 24480 blocks -> blocks cap allows 2
-    assert pj.best_slab_b(2160, 8) == 2
+    # 272-row 3840-wide shard = 24480 blocks -> cap allows only B=2
+    assert pj.best_slab_b(2160, 8) == 1
+    # ...but B=2 survives at 1088-row slices (measured win)
+    monkeypatch.setenv("DMMT_SLAB_MAX_BLOCKS", "200000")
+    assert pj.best_slab_b(2176, 2) == 2
     monkeypatch.setenv("DMMT_SLAB_MAX_BLOCKS", "800000")
-    assert pj.best_slab_b(2160, 8) == 32  # deep stack up to max_b
+    assert pj.best_slab_b(2160, 8) == 32
+    monkeypatch.delenv("DMMT_SLAB_MAX_BLOCKS")
+    assert pj.best_slab_b(2160, 8) == 64  # default cap reaches job 310's depth
 
 
 def test_scaling_table_carries_slab_b():

@@ -181,9 +181,10 @@ def test_encode_batch_rows_cap_skips_slab(rng, monkeypatch):
 
 def test_encode_batch_blocks_cap_bounds_group_size(rng, monkeypatch):
     """The compile cap picks B (rows no longer bound depth — round-5
-    jobs 306/307 measured deep stacks monotonically better): 4 x 32-row
-    images (36 blocks each) with a 72-block cap must run as two B=2
-    slab groups."""
+    jobs 306/307/310 measured deep stacks monotonically better): 4 x
+    32-row images (36 blocks each) with a 108-block cap must run as one
+    B=3 slab group plus a per-image tail (B=2 would be demoted — see
+    the auto-demotion test)."""
     calls = {"n": 0, "b": set()}
     real = start_one_dispatch_slab
 
@@ -196,36 +197,54 @@ def test_encode_batch_blocks_cap_bounds_group_size(rng, monkeypatch):
         "dmmt_jpeg_encoder_tpu.onedispatch.start_one_dispatch_slab",
         counting,
     )
-    monkeypatch.setenv("DMMT_SLAB_MAX_BLOCKS", "72")
+    monkeypatch.setenv("DMMT_SLAB_MAX_BLOCKS", "108")
     imgs = [rng.integers(0, 256, (32, 48, 3), dtype=np.uint8) for _ in range(4)]
     cfg = EncoderConfig(scan_backend="device")
     batched = encode_batch(imgs, 255, cfg)
-    assert calls["n"] == 2 and calls["b"] == {2}
+    assert calls["n"] == 1 and calls["b"] == {3}
     singles = [encode_array(px, 255, cfg) for px in imgs]
     assert batched == singles
 
 
-def test_encode_batch_auto_depth_clamps_at_32(rng, monkeypatch):
-    """Auto slab depth clamps at the deepest MEASURED stack (B=32, job
-    307): 34 tiny images must run as one B=32 group + one B=2 group,
-    not one B=34 program (unmeasured win, linear compile growth)."""
-    seen = []
-    real = start_one_dispatch_slab
+def test_encode_batch_auto_b2_demoted_below_1088(rng, monkeypatch):
+    """Job 310: B=2 slabs of sub-1088-row images measured SLOWER than
+    the pipelined per-image path (15.9 vs 12.0 ms at 272 rows) — an
+    auto pick of exactly 2 must fall back to per-image. Explicit
+    DMMT_SLAB_B=2 stays honored (covered by the routing test above)."""
+    import dmmt_jpeg_encoder_tpu.onedispatch as od
 
-    def counting(stack, *a, **k):
-        seen.append(int(stack.shape[0]))
-        return real(stack, *a, **k)
+    def boom(*a, **k):  # pragma: no cover - must not be called
+        raise AssertionError("auto B=2 slab dispatched below 1088 rows")
 
-    monkeypatch.setattr(
-        "dmmt_jpeg_encoder_tpu.onedispatch.start_one_dispatch_slab",
-        counting,
-    )
+    monkeypatch.setattr(od, "start_one_dispatch_slab", boom)
+    imgs = [rng.integers(0, 256, (32, 48, 3), dtype=np.uint8) for _ in range(2)]
+    cfg = EncoderConfig(scan_backend="device")
+    batched = encode_batch(imgs, 255, cfg)
+    singles = [encode_array(px, 255, cfg) for px in imgs]
+    assert batched == singles
+
+
+def test_encode_batch_auto_depth_clamps_at_64(rng, monkeypatch):
+    """Auto slab depth clamps at the deepest MEASURED stack (B=64, job
+    310): 70 tiny same-geometry images must be handed to the slab path
+    with B=64, not B=70 (unmeasured win, linear compile growth). The
+    slab path itself is spied out — group-splitting and byte equality
+    are covered by the dispatch-level tests above at smaller depths."""
+    import dmmt_jpeg_encoder_tpu.encoder as enc_mod
+
+    picks = []
+
+    def fake_slab(images, maxval, config, slab_b):
+        picks.append(slab_b)
+        return [encode_array(px, maxval, config) for px in images]
+
+    monkeypatch.setattr(enc_mod, "_encode_batch_slab", fake_slab)
     imgs = [
-        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(34)
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(70)
     ]
     cfg = EncoderConfig(scan_backend="device")
     batched = encode_batch(imgs, 255, cfg)
-    assert sorted(seen) == [2, 32]
+    assert picks == [64]
     singles = [encode_array(px, 255, cfg) for px in imgs]
     assert batched == singles
 
