@@ -41,6 +41,7 @@ METRIC_ORDER = [
     "4k_rgb_to_jpeg_batch_throughput",
     "8k_bitexact_program_throughput",
     "8k_device_program_throughput",
+    "4k_n2_slab_mesh_throughput",
     "4k_n4_slab_mesh_throughput",
     "4k_n8_slab_mesh_throughput",
     "4k_device_only_throughput",
@@ -353,7 +354,7 @@ def child_main(args) -> int:
 
         # parity mode anchor: this stage runs in the default env
         t1 = _floor_single()  # seconds, single 4K program
-        for n_chips, b, rows in ((8, 64, 272), (4, 32, 544)):
+        for n_chips, b, rows in ((8, 64, 272), (4, 32, 544), (2, 16, 1088)):
             if rows > h:
                 # the stage models 4K-over-n-chips shard slices; smaller
                 # bench geometries can't source a full slice

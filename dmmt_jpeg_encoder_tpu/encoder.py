@@ -290,12 +290,17 @@ def encode_batch(
         # Auto depth clamps to the deepest MEASURED stack (B=64, job
         # 310 — 2.02 ms/272-row image, 1.57M-block program compiles in
         # ~160 s): beyond it the win is unquantified and per-image
-        # program sections grow compile time linearly. DMMT_SLAB_B
-        # overrides.
-        slab_b = min(
-            len(images),
-            min(b_max, 64) if b_env == "auto" else min(int(b_env), b_max),
-        )
+        # program sections grow compile time linearly. When the cap (not
+        # the batch length) binds, it rounds down to a power of two —
+        # every measured depth optimum is one, and job 312 caught B=17
+        # SLOWER than B=16 at the same rows. DMMT_SLAB_B overrides.
+        if b_env == "auto":
+            cap_b = min(b_max, 64)
+            if cap_b >= 2:
+                cap_b = 1 << (cap_b.bit_length() - 1)
+            slab_b = min(len(images), cap_b)
+        else:
+            slab_b = min(len(images), int(b_env), b_max)
         # Job 310 measured DEFAULT-arm B=2 slabs LOSING to the pipelined
         # per-image path below 1088 rows/image (15.9 vs 12.0 ms at 272,
         # 19.95 vs 16.4 at 544; B=2x1088 and B>=4 win) — demote auto
@@ -618,11 +623,16 @@ def _encode_batch_sharded(
             if shard_rows <= rows_cap
             else 1
         )
-        slab_b = min(
-            len(images),
-            # auto depth clamps to the deepest measured stack (job 310)
-            min(b_max, 64) if b_env == "auto" else min(int(b_env), b_max),
-        )
+        # auto depth: clamp to the deepest measured stack (job 310) and
+        # round a cap-bound pick down to a power of two (job 312: B=17
+        # measured slower than B=16)
+        if b_env == "auto":
+            cap_b = min(b_max, 64)
+            if cap_b >= 2:
+                cap_b = 1 << (cap_b.bit_length() - 1)
+            slab_b = min(len(images), cap_b)
+        else:
+            slab_b = min(len(images), int(b_env), b_max)
         # auto B=2 below 1088-row slices measured slower than per-image
         # pipelining (job 310) — demote; explicit DMMT_SLAB_B=2 honored
         if slab_b == 2 and b_env == "auto" and shard_rows < 1088:

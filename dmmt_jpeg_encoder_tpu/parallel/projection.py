@@ -92,6 +92,11 @@ MEASURED_T_SLAB_MS: dict[tuple[int, int], float] = {
     (2, 1088): 18.35,
     (4, 1088): 36.93,   # job 307
     (8, 1088): 69.53,   # job 307 (late-session; anchor had drifted +1.2)
+    (16, 1088): 122.03,  # job 312 (7.63 ms/image -> n=2 efficiency 0.96)
+    (17, 1088): 137.60,  # job 312: deeper but SLOWER than 16 — the one
+                         # measured break in depth monotonicity; every
+                         # measured optimum is a power of two, so the
+                         # auto gate rounds depth down to one
 }
 
 # Measured per-extra-image overhead inside one slab program (ms/image
@@ -203,6 +208,11 @@ def best_slab_b(
         -(-rows_per_shard // 16) * 16 // 8 * (-(-width // 16) * 16 // 8) * 3
     ) // 2
     b = max(1, min(max_b, blocks_cap // max(blocks_per_shard, 1)))
+    # every measured depth optimum is a power of two and job 312 caught
+    # B=17 running SLOWER than B=16 at the same rows — round auto depth
+    # down to a power of two (encoder.py's gate mirrors this)
+    if b >= 2:
+        b = 1 << (b.bit_length() - 1)
     # job 310: B=2 slabs below 1088-row slices lose to per-image
     # pipelining on the default arm — the gate demotes auto picks of
     # exactly 2 there (encoder.py mirrors this).

@@ -181,10 +181,10 @@ def test_encode_batch_rows_cap_skips_slab(rng, monkeypatch):
 
 def test_encode_batch_blocks_cap_bounds_group_size(rng, monkeypatch):
     """The compile cap picks B (rows no longer bound depth — round-5
-    jobs 306/307/310 measured deep stacks monotonically better): 4 x
-    32-row images (36 blocks each) with a 108-block cap must run as one
-    B=3 slab group plus a per-image tail (B=2 would be demoted — see
-    the auto-demotion test)."""
+    jobs 306/307/310 measured deep stacks monotonically better, and a
+    cap-bound auto pick rounds down to a power of two per job 312): 4 x
+    32-row images (36 blocks each) with a 144-block cap must run as one
+    B=4 slab group."""
     calls = {"n": 0, "b": set()}
     real = start_one_dispatch_slab
 
@@ -197,11 +197,11 @@ def test_encode_batch_blocks_cap_bounds_group_size(rng, monkeypatch):
         "dmmt_jpeg_encoder_tpu.onedispatch.start_one_dispatch_slab",
         counting,
     )
-    monkeypatch.setenv("DMMT_SLAB_MAX_BLOCKS", "108")
+    monkeypatch.setenv("DMMT_SLAB_MAX_BLOCKS", "144")
     imgs = [rng.integers(0, 256, (32, 48, 3), dtype=np.uint8) for _ in range(4)]
     cfg = EncoderConfig(scan_backend="device")
     batched = encode_batch(imgs, 255, cfg)
-    assert calls["n"] == 1 and calls["b"] == {3}
+    assert calls["n"] == 1 and calls["b"] == {4}
     singles = [encode_array(px, 255, cfg) for px in imgs]
     assert batched == singles
 
