@@ -337,7 +337,7 @@ def child_main(args) -> int:
                  else os.environ.__setitem__(k, v))
 
     @_stage("slab-floor")
-    def _bench_slab_floor():
+    def _bench_slab_floor(parity_ms=None):
         # MEASURED deep-slab shard programs (round-5 jobs 306/307): the
         # exact per-chip programs encode_batch's sharded-slab gate
         # dispatches for 4K over an n-chip mesh — B 272-row (n=8, B=32)
@@ -352,8 +352,15 @@ def child_main(args) -> int:
             start_one_dispatch_slab,
         )
 
-        # parity mode anchor: this stage runs in the default env
+        # Parity-mode single-image anchor. Sessions drift SLOWER, and
+        # this stage runs late — a drifted anchor inflates the slab
+        # efficiency ratio (the long slab programs are less sensitive
+        # to host jitter than 8 pipelined single dispatches). The mode
+        # sweep measured the same parity config minutes earlier and
+        # fresher, so take the min of both anchors.
         t1 = _floor_single()  # seconds, single 4K program
+        if parity_ms is not None:
+            t1 = min(t1, parity_ms / 1e3)
         for n_chips, b, rows in ((8, 64, 272), (4, 32, 544), (2, 16, 1088)):
             if rows > h:
                 # the stage models 4K-over-n-chips shard slices; smaller
@@ -646,7 +653,7 @@ def child_main(args) -> int:
     if not args.no_8k:
         _bench_8k(winner)
     if not args.no_slab:
-        _bench_slab_floor()
+        _bench_slab_floor(sweep_results.get(("plane", "fused", 1, "1")))
     if not args.device_only:
         _bench_components()
         _bench_e2e()
