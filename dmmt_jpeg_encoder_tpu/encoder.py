@@ -609,12 +609,12 @@ def _encode_batch_sharded(
         ph0, _ = padded_size(h0, w0, config.chroma_subsampling)
         cap = int(_os.environ.get("DMMT_SLAB_MAX_BLOCKS", "1700000"))
         # Slab-win region bound on the per-image SHARD slice (PERF.md
-        # round 5, jobs 306/307): each chip row-stacks slab_b slices of
+        # round 5, jobs 306-312): each chip row-stacks slab_b slices of
         # ph/n rows; stacking wins when the slice is <= ~1088 rows and
-        # deeper B amortizes the per-image fixed slice (0.83 efficiency
-        # at n=8 with B=32x272), so B is bounded by the per-shard
-        # compile cap only. DMMT_SLAB_MAX_ROWS bounds rows per image
-        # slice.
+        # deeper B amortizes the per-image fixed slice (0.91 efficiency
+        # at n=8 with B=64x272, 0.95 at n=2 with B=16x1088), so B is
+        # bounded by the per-shard compile cap only. DMMT_SLAB_MAX_ROWS
+        # bounds rows per image slice.
         rows_cap = int(_os.environ.get("DMMT_SLAB_MAX_ROWS", "1088"))
         b_env = _os.environ.get("DMMT_SLAB_B", "auto")
         shard_rows = -(-ph0 // config.num_shards)
