@@ -107,3 +107,34 @@ def test_sharded_slab_respects_block_limit(rng, monkeypatch):
     imgs = np.stack([_photo(rng, 32, 48) for _ in range(2)])
     with pytest.raises(ValueError, match="compile limit"):
         start_sharded_encode_slab(imgs, 255, cfg)
+
+
+@needs_8
+def test_sharded_auto_b2_demoted(rng, monkeypatch):
+    """Auto picks of exactly B=2 below 1088-row shard slices must ride
+    the per-image sharded path (job 310: B=2 slabs lose to per-image
+    pipelining there); explicit DMMT_SLAB_B=2 stays honored (previous
+    test)."""
+    monkeypatch.setenv("DMMT_PALLAS_INTERPRET", "1")
+    from dmmt_jpeg_encoder_tpu.encoder import encode_batch, encode_array
+    import dmmt_jpeg_encoder_tpu.parallel.sharding as sh
+
+    def boom(*a, **k):  # pragma: no cover - must not be called
+        raise AssertionError("auto B=2 sharded slab dispatched")
+
+    monkeypatch.setattr(sh, "start_sharded_encode_slab", boom)
+    cfg = EncoderConfig(
+        chroma_subsampling=ChromaSubsamplingPreset.P420,
+        num_shards=2,
+        scan_backend="device",
+    )
+    imgs = [_photo(rng, 32, 48) for _ in range(2)]
+    got = encode_batch(imgs, 255, cfg)
+    singles = [
+        encode_array(
+            px, 255,
+            EncoderConfig(chroma_subsampling=ChromaSubsamplingPreset.P420),
+        )
+        for px in imgs
+    ]
+    assert got == singles
