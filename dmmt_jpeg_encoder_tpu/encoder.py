@@ -9,6 +9,7 @@ container assembly.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from pathlib import Path
 
@@ -534,16 +535,28 @@ def _encode_batch_slab(
                 )
             )
 
+    # A trailing group of exactly 2 sub-1088-row images rides per-image
+    # dispatches: job 310 measured B=2 slabs losing to two pipelined
+    # singles there (15.9 vs 12.0 ms at 272 rows), and the per-image
+    # program avoids compiling a one-off B=2 executable for the
+    # remainder. Explicit DMMT_SLAB_B keeps slab semantics.
+    split_pairs = (
+        slab_b > 2
+        and ph < 1088
+        and os.environ.get("DMMT_SLAB_B", "auto") == "auto"
+    )
     for part in groups:
-        if len(part) == 1:
-            # trailing single image: the per-image executable is already
-            # compiled in steady state only if shapes match a prior call;
-            # dispatching it through the single-image one-dispatch keeps
-            # bytes identical either way.
-            dev = jax.device_put(_narrow_pixels(part[0], maxval))
-            st = start_one_dispatch(dev, maxval, config, luma_q, chroma_q)
-            prefetch_one_dispatch(st, config)
-            states = [st]
+        if len(part) == 1 or (len(part) == 2 and split_pairs):
+            # singles (and demoted trailing pairs) through the
+            # single-image one-dispatch — bytes identical either way
+            states = []
+            for px in part:
+                dev = jax.device_put(_narrow_pixels(px, maxval))
+                st = start_one_dispatch(
+                    dev, maxval, config, luma_q, chroma_q
+                )
+                prefetch_one_dispatch(st, config)
+                states.append(st)
         else:
             stacked = stack_group(part)
             dev = jax.device_put(stacked)

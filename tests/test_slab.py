@@ -259,3 +259,28 @@ def test_encode_batch_upload_depth_paths(rng, monkeypatch):
     for depth in ("1", "4", "16"):
         monkeypatch.setenv("DMMT_UPLOAD_DEPTH", depth)
         assert encode_batch(imgs, 255, cfg) == singles, depth
+
+
+def test_encode_batch_trailing_pair_rides_per_image(rng, monkeypatch):
+    """A trailing group of exactly 2 small images after pow2 grouping
+    rides per-image dispatches (job 310: B=2 slabs lose below 1088
+    rows): 6 x 32-row images with a 144-block cap -> one B=4 slab group
+    + two per-image programs, never a B=2 slab."""
+    calls = {"b": []}
+    real = start_one_dispatch_slab
+
+    def counting(stack, *a, **k):
+        calls["b"].append(int(stack.shape[0]))
+        return real(stack, *a, **k)
+
+    monkeypatch.setattr(
+        "dmmt_jpeg_encoder_tpu.onedispatch.start_one_dispatch_slab",
+        counting,
+    )
+    monkeypatch.setenv("DMMT_SLAB_MAX_BLOCKS", "144")
+    imgs = [rng.integers(0, 256, (32, 48, 3), dtype=np.uint8) for _ in range(6)]
+    cfg = EncoderConfig(scan_backend="device")
+    batched = encode_batch(imgs, 255, cfg)
+    assert calls["b"] == [4]
+    singles = [encode_array(px, 255, cfg) for px in imgs]
+    assert batched == singles
